@@ -1,0 +1,46 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh (the standard
+JAX substitute for multi-device testing without hardware); the driver's
+``dryrun_multichip`` does the same.
+
+The container's sitecustomize registers a remote-TPU PJRT plugin at
+interpreter startup (before conftest runs) which routes *every* compile over
+a tunnel — unusably slow for a CPU test suite.  If that plugin's env gate is
+set, re-exec the interpreter once with a cleaned environment so tests run on
+the local CPU backend.
+"""
+
+import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not (k.startswith("PALLAS_AXON") or k.startswith("AXON"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.execvpe(
+        sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+    )
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,184 @@
+"""Sampling library tests: pdf↔sample consistency and chi²-style checks
+(the property-test layer SURVEY.md §4 calls for)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from shimmer_tpu.ops import rng as srng
+from shimmer_tpu.ops import sampling as sp
+from shimmer_tpu.ops import vecmath as vm
+
+
+def _uniform2(rng, n):
+    return jnp.asarray(rng.uniform(0.0, 1.0, (n, 2)).astype(np.float32))
+
+
+class TestRng:
+    def test_deterministic(self):
+        a = srng.uniform_1d(jnp.uint32(12), jnp.uint32(3), jnp.uint32(7))
+        b = srng.uniform_1d(jnp.uint32(12), jnp.uint32(3), jnp.uint32(7))
+        assert float(a) == float(b)
+
+    def test_range_and_mean(self):
+        n = 1 << 16
+        i = jnp.arange(n, dtype=jnp.uint32)
+        u = srng.uniform_1d(i, jnp.uint32(0), jnp.uint32(0))
+        u = np.asarray(u)
+        assert u.min() >= 0.0 and u.max() < 1.0
+        assert abs(u.mean() - 0.5) < 5e-3
+        assert abs(np.var(u) - 1.0 / 12.0) < 5e-3
+
+    def test_dims_decorrelated(self):
+        n = 1 << 14
+        i = jnp.arange(n, dtype=jnp.uint32)
+        u0 = np.asarray(srng.uniform_1d(i, jnp.uint32(0), jnp.uint32(0)))
+        u1 = np.asarray(srng.uniform_1d(i, jnp.uint32(0), jnp.uint32(1)))
+        corr = np.corrcoef(u0, u1)[0, 1]
+        assert abs(corr) < 0.02
+
+
+class TestWarps:
+    def test_uniform_sphere(self, rng):
+        d = sp.sample_uniform_sphere(_uniform2(rng, 4096))
+        np.testing.assert_allclose(np.asarray(vm.length(d)), 1.0, atol=1e-5)
+        # mean should be near 0 by symmetry
+        assert np.all(np.abs(np.asarray(d).mean(0)) < 0.05)
+
+    def test_cosine_hemisphere_mean_cos(self, rng):
+        d = sp.sample_cosine_hemisphere(_uniform2(rng, 1 << 14))
+        z = np.asarray(d)[:, 2]
+        assert np.all(z >= 0)
+        # E[cosθ] under pdf cosθ/π is 2/3
+        assert abs(z.mean() - 2.0 / 3.0) < 5e-3
+
+    def test_concentric_disk_in_disk(self, rng):
+        p = sp.sample_uniform_disk_concentric(_uniform2(rng, 4096))
+        r = np.asarray(vm.length(p))
+        assert r.max() <= 1.0 + 1e-6
+        # uniform density: E[r^2] = 1/2
+        assert abs((r**2).mean() - 0.5) < 1e-2
+
+    def test_uniform_triangle(self, rng):
+        b = sp.sample_uniform_triangle(_uniform2(rng, 4096))
+        b = np.asarray(b)
+        assert np.all(b >= -1e-6) and np.all(b <= 1 + 1e-6)
+        np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(b.mean(0), [1 / 3, 1 / 3, 1 / 3], atol=2e-2)
+
+    def test_triangle_inversion(self, rng):
+        u = _uniform2(rng, 512)
+        b = sp.sample_uniform_triangle(u)
+        u2 = sp.invert_uniform_triangle_sample(b)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-5)
+
+    def test_sample_linear_pdf(self, rng):
+        u = jnp.asarray(rng.uniform(0, 1, 1 << 14).astype(np.float32))
+        x = np.asarray(sp.sample_linear(u, 1.0, 3.0))
+        # E[x] for pdf ∝ 1+2x on [0,1] is ∫x(1+2x)/2 = (1/2+2/3)/2
+        assert abs(x.mean() - (0.5 + 2.0 / 3.0) / 2.0) < 5e-3
+        # inversion
+        xi = sp.invert_linear_sample(jnp.asarray(x), 1.0, 3.0)
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(u), atol=1e-4)
+
+    def test_power_heuristic(self):
+        w = float(sp.power_heuristic(1.0, 2.0, 1.0, 1.0))
+        assert np.isclose(w, 4.0 / 5.0)
+        assert float(sp.power_heuristic(1.0, jnp.inf, 1.0, 1.0)) == 1.0
+
+    def test_sample_discrete(self, rng):
+        w = jnp.array([1.0, 2.0, 1.0])
+        u = jnp.asarray(rng.uniform(0, 1, 1 << 14).astype(np.float32))
+        idx, pmf, _ = sp.sample_discrete(jnp.broadcast_to(w, (u.shape[0], 3)), u)
+        idx = np.asarray(idx)
+        counts = np.bincount(idx, minlength=3) / idx.size
+        np.testing.assert_allclose(counts, [0.25, 0.5, 0.25], atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(pmf), np.array([0.25, 0.5, 0.25])[idx], atol=1e-6
+        )
+
+    def test_visible_wavelengths(self, rng):
+        u = jnp.asarray(rng.uniform(0, 1, 4096).astype(np.float32))
+        lam = np.asarray(sp.sample_visible_wavelengths(u))
+        assert lam.min() >= 360.0 and lam.max() <= 830.0
+        pdf = np.asarray(sp.visible_wavelengths_pdf(jnp.asarray(lam)))
+        assert np.all(pdf > 0)
+        # MC integral of pdf over its own samples ≈ normalization: E[1] = 1
+        # instead check pdf integrates to 1 over the range by quadrature:
+        grid = np.linspace(360.0, 830.0, 2000)
+        p = np.asarray(sp.visible_wavelengths_pdf(jnp.asarray(grid)))
+        assert abs(np.trapezoid(p, grid) - 1.0) < 1e-3
+
+    def test_spherical_triangle_sampling(self, rng):
+        # triangle subtending a known solid angle: one octant corner triangle
+        v0 = jnp.array([10.0, 0.0, 0.0])
+        v1 = jnp.array([0.0, 10.0, 0.0])
+        v2 = jnp.array([0.0, 0.0, 10.0])
+        p = jnp.zeros(3)
+        u = _uniform2(rng, 1024)
+        bary, pdf = sp.sample_spherical_triangle(
+            jnp.broadcast_to(v0, (1024, 3)),
+            jnp.broadcast_to(v1, (1024, 3)),
+            jnp.broadcast_to(v2, (1024, 3)),
+            jnp.broadcast_to(p, (1024, 3)),
+            u,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pdf), 1.0 / (4.0 * np.pi / 8.0), rtol=1e-3
+        )
+        b = np.asarray(bary)
+        assert np.all(b > -1e-5) and np.all(b.sum(-1) < 1 + 1e-5)
+
+    def test_spherical_rectangle_pdf(self, rng):
+        # rectangle far away ⇒ pdf ≈ r^2 / (A cosθ)
+        s = jnp.array([-0.5, -0.5, 10.0])
+        ex = jnp.array([1.0, 0.0, 0.0])
+        ey = jnp.array([0.0, 1.0, 0.0])
+        p_ref = jnp.zeros(3)
+        u = _uniform2(rng, 256)
+        pt, pdf = sp.sample_spherical_rectangle(
+            jnp.broadcast_to(p_ref, (256, 3)),
+            jnp.broadcast_to(s, (256, 3)),
+            jnp.broadcast_to(ex, (256, 3)),
+            jnp.broadcast_to(ey, (256, 3)),
+            u,
+        )
+        expected = 100.0 / 1.0  # r^2/(A cosθ), cosθ≈1
+        np.testing.assert_allclose(np.asarray(pdf), expected, rtol=2e-2)
+        pts = np.asarray(pt)
+        assert pts[:, 0].min() >= -0.5 - 1e-4 and pts[:, 0].max() <= 0.5 + 1e-4
+        np.testing.assert_allclose(pts[:, 2], 10.0, atol=1e-4)
+
+
+class TestPiecewiseConstant:
+    def test_1d_sampling_matches_density(self, rng):
+        f = jnp.array([1.0, 3.0, 2.0, 0.0])
+        dist = sp.build_piecewise_constant_1d(f)
+        u = jnp.asarray(rng.uniform(0, 1, 1 << 15).astype(np.float32))
+        x, pdf, _ = dist.sample(u)
+        x = np.asarray(x)
+        hist, _ = np.histogram(x, bins=4, range=(0, 1))
+        frac = hist / x.size
+        np.testing.assert_allclose(frac, [1 / 6, 3 / 6, 2 / 6, 0.0], atol=1e-2)
+        # pdf values: f / integral, integral = 1.5
+        np.testing.assert_allclose(
+            np.asarray(pdf), np.asarray(dist.pdf_at(jnp.asarray(x))), atol=1e-5
+        )
+
+    def test_2d_sampling(self, rng):
+        f = jnp.array([[1.0, 0.0], [1.0, 2.0]])
+        dist = sp.build_piecewise_constant_2d(f)
+        u = _uniform2(rng, 1 << 15)
+        p, pdf = dist.sample(u)
+        p = np.asarray(p)
+        # quadrant probabilities ∝ f
+        qx = (p[:, 0] > 0.5).astype(int)
+        qy = (p[:, 1] > 0.5).astype(int)
+        counts = np.zeros((2, 2))
+        for i in range(2):
+            for j in range(2):
+                counts[i, j] = np.mean((qy == i) & (qx == j))
+        np.testing.assert_allclose(counts, [[0.25, 0.0], [0.25, 0.5]], atol=1e-2)
+        # pdf at samples matches pdf_at
+        np.testing.assert_allclose(
+            np.asarray(pdf), np.asarray(dist.pdf_at(jnp.asarray(p))), rtol=1e-4
+        )
