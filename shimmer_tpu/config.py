@@ -8,16 +8,17 @@ bit-fidelity tests.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
-# Compute dtype for all geometry / shading math.
-float_dtype = jnp.float32
+# Compute dtype for all geometry / shading math (numpy dtypes are
+# jnp-compatible; importing this module must not touch a device).
+float_dtype = np.float32
 
 # Index dtype for BVH links, primitive ids, material ids.
-int_dtype = jnp.int32
+int_dtype = np.int32
 
 # Machine constants mirroring /root/reference/src/float.rs:10-23.
-ONE_MINUS_EPSILON = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+ONE_MINUS_EPSILON = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 MACHINE_EPSILON = 1.1920929e-7 * 0.5  # f32 eps / 2
 
 # Shadow-ray epsilon (reference: src/integrator.rs:109-117 uses 1e-4 via

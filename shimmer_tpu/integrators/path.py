@@ -1,0 +1,500 @@
+"""Path-tracing integrators over ray wavefronts.
+
+TPU-native analog of /root/reference/src/integrator.rs.  The reference's
+recursive/iterative per-ray evaluators (RandomWalk :461-563, SimplePath
+:573-728, Path :730-963) become statically-unrolled depth loops over masked
+lanes: every lane advances one bounce per iteration, dead lanes are masked
+(the XLA-friendly form of the megakernel; queue compaction slots in between
+iterations without changing this code).  The depth loop is a Python loop —
+max_depth is small and static — which also gives AD a clean unroll for the
+differentiable path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from shimmer_tpu.lights import lights as lt
+from shimmer_tpu.materials import bxdf as bx
+from shimmer_tpu.materials.material import (
+    bsdf_f,
+    bsdf_pdf,
+    bsdf_sample,
+)
+from shimmer_tpu.ops.ray import Ray, offset_ray_origin
+from shimmer_tpu.ops.sampling import (
+    UNIFORM_SPHERE_PDF,
+    power_heuristic,
+    sample_uniform_sphere,
+)
+from shimmer_tpu.ops.vecmath import abs_dot, dot, normalize
+from shimmer_tpu.scene import (
+    Scene,
+    light_pmf,
+    sample_light,
+    scene_intersect,
+    scene_intersect_predicate,
+)
+from shimmer_tpu.spectra.sampled import ss_is_black
+
+INF = jnp.inf
+
+
+def _unoccluded(scene, p, n, p_light, n_light=None):
+    """Shadow test between two offset points
+    (IntegratorBase::unoccluded, integrator.rs:109-117)."""
+    d = p_light - p
+    o = offset_ray_origin(p, n, d)
+    if n_light is not None:
+        target = offset_ray_origin(p_light, n_light, -d)
+    else:
+        target = p_light
+    dir_ = target - o
+    occ = scene_intersect_predicate(
+        scene, o, dir_, jnp.full(p.shape[:-1], 1.0 - 1e-3)
+    )
+    return ~occ
+
+
+def _area_le_with_mis(scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, alive):
+    """Emission from an emissive hit, MIS-weighted against NEE
+    (integrator.rs:797-813)."""
+    has_light = alive & si.valid & (si.area_light_id >= 0)
+    lid = jnp.maximum(si.area_light_id, 0)
+    le = lt.area_light_l(scene.lights, lid, si.n, si.wo, swl)
+    pdf_l = light_pmf(scene, lid) * lt.pdf_li(
+        scene.lights,
+        lid,
+        prev_p,
+        prev_ns,
+        normalize(si.p - prev_p),
+        si.p,
+        si.n,
+        scene.spheres,
+        scene.light_kinds,
+        tri_pdf=_tri_pdf(scene),
+        env=scene.env,
+    )
+    w = jnp.where(specular, 1.0, power_heuristic(1.0, p_b, 1.0, pdf_l))
+    return l + jnp.where(has_light[..., None], beta * w[..., None] * le, 0.0)
+
+
+def _infinite_le_with_mis(scene, ray_d, swl, beta, p_b, specular, prev_p, prev_ns, l, miss):
+    """Escaped rays hitting infinite lights (integrator.rs:776-794)."""
+    if not scene.uniform_infinite_indices and not scene.image_infinite_indices:
+        return l
+    from shimmer_tpu.lights.env import env_le, env_pdf_li
+
+    for i in scene.uniform_infinite_indices:
+        from shimmer_tpu.spectra.spectrum import dense_sample
+
+        le = dense_sample(scene.lights.spectrum[i], swl.lam) * scene.lights.scale[i]
+        pdf_l = light_pmf(scene, jnp.full(p_b.shape, i, jnp.int32)) * UNIFORM_SPHERE_PDF
+        w = jnp.where(specular, 1.0, power_heuristic(1.0, p_b, 1.0, pdf_l))
+        l = l + jnp.where(miss[..., None], beta * w[..., None] * le, 0.0)
+    for i in scene.image_infinite_indices:
+        le = env_le(scene.env, ray_d, swl)
+        pdf_l = light_pmf(scene, jnp.full(p_b.shape, i, jnp.int32)) * env_pdf_li(
+            scene.env, ray_d
+        )
+        w = jnp.where(specular, 1.0, power_heuristic(1.0, p_b, 1.0, pdf_l))
+        l = l + jnp.where(miss[..., None], beta * w[..., None] * le, 0.0)
+    return l
+
+
+def _tri_sampler(scene):
+    if not scene.has_triangles:
+        return None
+    from shimmer_tpu.shapes.triangle import triangle_light_sample
+
+    return lambda sidx, ref_p, ref_ns, u: triangle_light_sample(
+        scene.triangles, sidx, ref_p, ref_ns, u
+    )
+
+
+def _tri_pdf(scene):
+    if not scene.has_triangles:
+        return None
+    from shimmer_tpu.shapes.triangle import triangle_light_pdf
+
+    return lambda sidx, ref_p, ref_ns, wi, si_p, si_n: triangle_light_pdf(
+        scene.triangles, sidx, ref_p, ref_ns, wi, si_p, si_n
+    )
+
+
+def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
+    """Next-event estimation with light-side MIS
+    (PathIntegrator::sample_ld, integrator.rs:897-963).
+
+    Returns (contribution (...,4), new sampler state)."""
+    uc, s_state = sampler.get_1d(s_state)
+    u2, s_state = sampler.get_2d(s_state)
+    light_idx, pmf, _ = sample_light(scene, uc)
+    ls = lt.sample_li(
+        scene.lights,
+        light_idx,
+        si.p,
+        si.ns,
+        u2,
+        swl,
+        scene.spheres,
+        scene.light_kinds,
+        tri_sampler=_tri_sampler(scene),
+        env=scene.env,
+    )
+    f = bsdf_f(
+        scene.materials,
+        scene.material_kinds,
+        si.material_id,
+        frame,
+        si.ns,
+        si.wo,
+        ls.wi,
+        swl,
+        **bsdf_ctx,
+    ) * abs_dot(ls.wi, si.ns)[..., None]
+    usable = ls.valid & (ls.pdf > 0.0) & ~ss_is_black(f)
+    visible = _unoccluded(scene, si.p, si.n, ls.p_light, ls.n_light)
+    p_l = pmf * ls.pdf
+    p_b = bsdf_pdf(
+        scene.materials,
+        scene.material_kinds,
+        si.material_id,
+        frame,
+        si.ns,
+        si.wo,
+        ls.wi,
+        swl,
+        **bsdf_ctx,
+    )
+    w_l = jnp.where(
+        ls.is_delta, 1.0, power_heuristic(1.0, p_l, 1.0, p_b)
+    ) / jnp.maximum(p_l, 1e-20)
+    contrib = jnp.where(
+        (usable & visible)[..., None], f * ls.l * w_l[..., None], 0.0
+    )
+    return contrib, s_state
+
+
+def li_path(
+    scene: Scene,
+    ray: Ray,
+    swl,
+    sampler,
+    s_state,
+    max_depth: int = 5,
+    regularize: bool = False,
+):
+    """Production path integrator: NEE + MIS power heuristic + Russian
+    roulette (PathIntegrator::li, integrator.rs:730-963).
+
+    ray: (N,)-lane Ray; returns (N, 4) radiance estimate.
+    """
+    n = ray.o.shape[:-1]
+    l = jnp.zeros(n + (4,), jnp.float32)
+    beta = jnp.ones(n + (4,), jnp.float32)
+    alive = jnp.ones(n, bool)
+    specular = jnp.ones(n, bool)
+    p_b = jnp.ones(n, jnp.float32)
+    eta_scale = jnp.ones(n, jnp.float32)
+    prev_p = ray.o
+    prev_ns = jnp.zeros(n + (3,), jnp.float32)
+    any_non_specular = jnp.zeros(n, bool)
+    ray_o, ray_d = ray.o, ray.d
+
+    for depth in range(max_depth + 1):
+        si = scene_intersect(scene, ray_o, ray_d, jnp.full(n, INF))
+        miss = alive & ~si.valid
+        l = _infinite_le_with_mis(
+            scene, ray_d, swl, beta, p_b, specular, prev_p, prev_ns, l, miss
+        )
+        l = _area_le_with_mis(
+            scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, alive
+        )
+        alive = alive & si.valid
+        if depth == max_depth:
+            break
+
+        frame = si.shading_frame()
+        bsdf_ctx = _bsdf_ctx(scene, si, swl)
+        # Regularization after the first non-specular bounce
+        # (integrator.rs:825-828) is handled inside the microfacet params
+        # via bsdf_ctx when enabled.
+        if regularize:
+            bsdf_ctx = dict(bsdf_ctx)
+            bsdf_ctx["tex"] = dict(bsdf_ctx.get("tex") or {})
+            bsdf_ctx["tex"]["regularize"] = any_non_specular
+
+        # --- NEE ---
+        ld, s_state = sample_ld(scene, si, frame, swl, sampler, s_state, bsdf_ctx)
+        l = l + jnp.where(alive[..., None], beta * ld, 0.0)
+
+        # --- BSDF sampling ---
+        u2, s_state = sampler.get_2d(s_state)
+        uc, s_state = sampler.get_1d(s_state)
+        bs = bsdf_sample(
+            scene.materials,
+            scene.material_kinds,
+            si.material_id,
+            frame,
+            si.ns,
+            si.wo,
+            u2,
+            uc,
+            swl,
+            **bsdf_ctx,
+        )
+        cos_f = abs_dot(bs.wi, si.ns)
+        step = jnp.where(
+            (bs.pdf > 0.0)[..., None],
+            bs.f * (cos_f / jnp.maximum(bs.pdf, 1e-20))[..., None],
+            0.0,
+        )
+        beta = jnp.where(alive[..., None], beta * step, beta)
+        # pdf for next-vertex MIS; proportional pdfs re-evaluate (bsdf.rs:72-76)
+        p_b_new = jnp.where(
+            bs.pdf_is_proportional,
+            bsdf_pdf(
+                scene.materials,
+                scene.material_kinds,
+                si.material_id,
+                frame,
+                si.ns,
+                si.wo,
+                bs.wi,
+                swl,
+                **bsdf_ctx,
+            ),
+            bs.pdf,
+        )
+        p_b = jnp.where(alive, p_b_new, p_b)
+        specular = jnp.where(alive, bs.is_specular(), specular)
+        any_non_specular = any_non_specular | (alive & ~bs.is_specular())
+        eta_scale = jnp.where(alive, eta_scale * bs.eta * bs.eta, eta_scale)
+        prev_p = jnp.where(alive[..., None], si.p, prev_p)
+        prev_ns = jnp.where(alive[..., None], si.ns, prev_ns)
+        new_o = offset_ray_origin(si.p, si.n, bs.wi)
+        ray_o = jnp.where(alive[..., None], new_o, ray_o)
+        ray_d = jnp.where(alive[..., None], bs.wi, ray_d)
+        alive = alive & bs.valid & ~ss_is_black(beta)
+
+        # --- Russian roulette on beta * eta_scale (integrator.rs:877-891) ---
+        u_rr, s_state = sampler.get_1d(s_state)
+        if depth > 0:
+            rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
+            q = jnp.maximum(0.0, 1.0 - rr_beta)
+            kill = alive & (u_rr < q)
+            beta = jnp.where(
+                alive[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
+            )
+            alive = alive & ~kill
+
+    return l
+
+
+def li_simple_path(
+    scene: Scene,
+    ray: Ray,
+    swl,
+    sampler,
+    s_state,
+    max_depth: int = 5,
+    sample_lights: bool = True,
+    sample_bsdf: bool = True,
+):
+    """Validation integrator: NEE without MIS, optional uniform-hemisphere
+    fallback (SimplePathIntegrator::li, integrator.rs:573-728)."""
+    n = ray.o.shape[:-1]
+    l = jnp.zeros(n + (4,), jnp.float32)
+    beta = jnp.ones(n + (4,), jnp.float32)
+    alive = jnp.ones(n, bool)
+    specular = jnp.ones(n, bool)
+    ray_o, ray_d = ray.o, ray.d
+
+    for depth in range(max_depth + 1):
+        si = scene_intersect(scene, ray_o, ray_d, jnp.full(n, INF))
+        miss = alive & ~si.valid
+        # Escaped rays: infinite lights count only on specular history
+        # when NEE is on (integrator.rs:600-613).
+        take = miss & (specular | jnp.asarray(not sample_lights))
+        le_inf = lt.infinite_le(
+            scene.lights,
+            ray_d,
+            swl,
+            scene.uniform_infinite_indices,
+            scene.image_infinite_indices,
+            env_eval=_env_eval(scene),
+        )
+        l = l + jnp.where(take[..., None], beta * le_inf, 0.0)
+
+        has_light = alive & si.valid & (si.area_light_id >= 0)
+        take_area = has_light & (specular | jnp.asarray(not sample_lights))
+        lid = jnp.maximum(si.area_light_id, 0)
+        le = lt.area_light_l(scene.lights, lid, si.n, si.wo, swl)
+        l = l + jnp.where(take_area[..., None], beta * le, 0.0)
+
+        alive = alive & si.valid
+        if depth == max_depth:
+            break
+        frame = si.shading_frame()
+        bsdf_ctx = _bsdf_ctx(scene, si, swl)
+
+        if sample_lights:
+            uc, s_state = sampler.get_1d(s_state)
+            u2, s_state = sampler.get_2d(s_state)
+            light_idx, pmf, _ = sample_light(scene, uc)
+            ls = lt.sample_li(
+                scene.lights,
+                light_idx,
+                si.p,
+                si.ns,
+                u2,
+                swl,
+                scene.spheres,
+                scene.light_kinds,
+                tri_sampler=_tri_sampler(scene),
+                env=scene.env,
+            )
+            f = bsdf_f(
+                scene.materials,
+                scene.material_kinds,
+                si.material_id,
+                frame,
+                si.ns,
+                si.wo,
+                ls.wi,
+                swl,
+                **bsdf_ctx,
+            ) * abs_dot(ls.wi, si.ns)[..., None]
+            visible = _unoccluded(scene, si.p, si.n, ls.p_light, ls.n_light)
+            ok = alive & ls.valid & (ls.pdf > 0.0) & visible & ~ss_is_black(f)
+            contrib = f * ls.l / (pmf * ls.pdf)[..., None]
+            l = l + jnp.where(ok[..., None], beta * contrib, 0.0)
+
+        if sample_bsdf:
+            u2, s_state = sampler.get_2d(s_state)
+            uc, s_state = sampler.get_1d(s_state)
+            bs = bsdf_sample(
+                scene.materials,
+                scene.material_kinds,
+                si.material_id,
+                frame,
+                si.ns,
+                si.wo,
+                u2,
+                uc,
+                swl,
+                **bsdf_ctx,
+            )
+            step = jnp.where(
+                (bs.pdf > 0.0)[..., None],
+                bs.f * (abs_dot(bs.wi, si.ns) / jnp.maximum(bs.pdf, 1e-20))[..., None],
+                0.0,
+            )
+            beta = jnp.where(alive[..., None], beta * step, beta)
+            specular = jnp.where(alive, bs.is_specular(), specular)
+            wi = bs.wi
+            valid_step = bs.valid
+        else:
+            # Uniform-hemisphere sampling (integrator.rs:688-713).
+            u2, s_state = sampler.get_2d(s_state)
+            wi = sample_uniform_sphere(u2)
+            flip = dot(wi, si.ns) * dot(si.wo, si.ns) < 0.0
+            wi = jnp.where(flip[..., None], -wi, wi)
+            f = bsdf_f(
+                scene.materials,
+                scene.material_kinds,
+                si.material_id,
+                frame,
+                si.ns,
+                si.wo,
+                wi,
+                swl,
+                **bsdf_ctx,
+            )
+            pdf = 1.0 / (2.0 * jnp.pi)
+            beta = jnp.where(
+                alive[..., None],
+                beta * f * (abs_dot(wi, si.ns) / pdf)[..., None],
+                beta,
+            )
+            specular = jnp.where(alive, False, specular)
+            valid_step = jnp.ones(n, bool)
+
+        ray_o = jnp.where(alive[..., None], offset_ray_origin(si.p, si.n, wi), ray_o)
+        ray_d = jnp.where(alive[..., None], wi, ray_d)
+        alive = alive & valid_step & ~ss_is_black(beta)
+
+    return l
+
+
+def li_random_walk(scene: Scene, ray: Ray, swl, sampler, s_state, max_depth: int = 5):
+    """Ground-truth sanity integrator: uniform-sphere random walk
+    (RandomWalkIntegrator, integrator.rs:461-563)."""
+    n = ray.o.shape[:-1]
+    l = jnp.zeros(n + (4,), jnp.float32)
+    beta = jnp.ones(n + (4,), jnp.float32)
+    alive = jnp.ones(n, bool)
+    ray_o, ray_d = ray.o, ray.d
+    for depth in range(max_depth + 1):
+        si = scene_intersect(scene, ray_o, ray_d, jnp.full(n, INF))
+        miss = alive & ~si.valid
+        le_inf = lt.infinite_le(
+            scene.lights,
+            ray_d,
+            swl,
+            scene.uniform_infinite_indices,
+            scene.image_infinite_indices,
+            env_eval=_env_eval(scene),
+        )
+        l = l + jnp.where(miss[..., None], beta * le_inf, 0.0)
+        has_light = alive & si.valid & (si.area_light_id >= 0)
+        lid = jnp.maximum(si.area_light_id, 0)
+        le = lt.area_light_l(scene.lights, lid, si.n, si.wo, swl)
+        l = l + jnp.where(has_light[..., None], beta * le, 0.0)
+        alive = alive & si.valid
+        if depth == max_depth:
+            break
+        frame = si.shading_frame()
+        bsdf_ctx = _bsdf_ctx(scene, si, swl)
+        u2, s_state = sampler.get_2d(s_state)
+        wp = sample_uniform_sphere(u2)
+        f = bsdf_f(
+            scene.materials,
+            scene.material_kinds,
+            si.material_id,
+            frame,
+            si.ns,
+            si.wo,
+            wp,
+            swl,
+            **bsdf_ctx,
+        )
+        beta = jnp.where(
+            alive[..., None],
+            beta * f * (abs_dot(wp, si.ns) / UNIFORM_SPHERE_PDF)[..., None],
+            beta,
+        )
+        ray_o = jnp.where(alive[..., None], offset_ray_origin(si.p, si.n, wp), ray_o)
+        ray_d = jnp.where(alive[..., None], wp, ray_d)
+        alive = alive & ~ss_is_black(beta)
+    return l
+
+
+def _env_eval(scene):
+    if not scene.image_infinite_indices:
+        return None
+    from shimmer_tpu.lights.env import env_le
+
+    return lambda i, d, swl: env_le(scene.env, d, swl)
+
+
+def _bsdf_ctx(scene, si, swl):
+    """Per-hit BSDF evaluation context: textures resolved per lane."""
+    ctx = {"spectra_table": scene.spectra_table, "tex": None}
+    tex_table = getattr(scene, "textures", None)
+    if tex_table is not None:
+        from shimmer_tpu.textures.textures import evaluate_material_textures
+
+        ctx["tex"] = evaluate_material_textures(tex_table, scene.materials, si, swl)
+    return ctx

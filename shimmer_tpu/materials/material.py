@@ -1,0 +1,195 @@
+"""Material table and wavefront BSDF dispatch.
+
+TPU-native analog of /root/reference/src/material.rs + src/bsdf.rs.  Scene
+materials are rows of a MaterialTable; the set of material *kinds* present
+is static host metadata, so only those BxDF families are traced — the
+wavefront-architecture replacement for enum dispatch (the reference itself
+signposts this design for GPU use, material.rs:1351-1360).
+
+The BSDF wrapper (shading-frame ↔ render-space conversion, bsdf.rs:12-112)
+is implemented here as the render-space entry points ``bsdf_f`` /
+``bsdf_sample`` / ``bsdf_pdf`` over SurfaceInteraction lanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from shimmer_tpu.materials import bxdf as bx
+from shimmer_tpu.materials.bxdf import BSDFSample, select_sample
+from shimmer_tpu.ops.vecmath import dot, normalize
+from shimmer_tpu.spectra.rgb2spec import sigmoid_poly_sample
+from shimmer_tpu.utils.pytree import pytree_dataclass
+
+# Material kinds (material.rs:100-108).
+DIFFUSE = 0
+CONDUCTOR = 1
+DIELECTRIC = 2
+THIN_DIELECTRIC = 3
+COATED_DIFFUSE = 4
+COATED_CONDUCTOR = 5
+MIX = 6
+DIFFUSE_TRANSMISSION = 7
+
+
+@pytree_dataclass
+class MaterialTable:
+    """Flat per-material parameter arrays.  Texture-driven parameters are
+    resolved to per-lane values by the texture stage before BSDF dispatch;
+    the columns here are the constant-texture fallbacks."""
+
+    kind: jnp.ndarray             # (M,) int32
+    # diffuse / coated-diffuse reflectance (sigmoid coeffs)
+    reflectance: jnp.ndarray      # (M, 3)
+    # conductor: dense eta/k spectra indices into scene spectrum table
+    eta_spec: jnp.ndarray         # (M,) int32 index, -1 = use float eta
+    k_spec: jnp.ndarray           # (M,) int32
+    # dielectric: scalar eta (or dense spectrum index for dispersion)
+    eta_float: jnp.ndarray        # (M,)
+    # roughness (GGX alpha after remap)
+    uroughness: jnp.ndarray       # (M,)
+    vroughness: jnp.ndarray       # (M,)
+    # mix materials
+    mix_amount: jnp.ndarray       # (M,)
+    mix_m1: jnp.ndarray           # (M,) int32
+    mix_m2: jnp.ndarray           # (M,) int32
+
+
+def make_material_table(mats: list[dict]) -> MaterialTable:
+    """Host: build the table from material dicts."""
+    m = len(mats)
+    g = lambda k, d: np.array([mm.get(k, d) for mm in mats], np.float32)
+    gi = lambda k, d: np.array([mm.get(k, d) for mm in mats], np.int32)
+    refl = np.stack(
+        [np.asarray(mm.get("reflectance_coeffs", [0.0, 0.0, 0.0]), np.float32) for mm in mats]
+    ) if m else np.zeros((0, 3), np.float32)
+    return MaterialTable(
+        kind=jnp.asarray(gi("kind", DIFFUSE)),
+        reflectance=jnp.asarray(refl),
+        eta_spec=jnp.asarray(gi("eta_spec", -1)),
+        k_spec=jnp.asarray(gi("k_spec", -1)),
+        eta_float=jnp.asarray(g("eta_float", 1.5)),
+        uroughness=jnp.asarray(g("uroughness", 0.0)),
+        vroughness=jnp.asarray(g("vroughness", 0.0)),
+        mix_amount=jnp.asarray(g("mix_amount", 0.5)),
+        mix_m1=jnp.asarray(gi("mix_m1", 0)),
+        mix_m2=jnp.asarray(gi("mix_m2", 0)),
+    )
+
+
+def _local_dirs(frame, *ws):
+    return tuple(frame.to_local(w) for w in ws)
+
+
+def _diffuse_reflectance(materials, mat_id, swl, tex_reflectance=None):
+    if tex_reflectance is not None:
+        return tex_reflectance
+    coeffs = materials.reflectance[mat_id]
+    return sigmoid_poly_sample(coeffs, swl.lam)
+
+
+def bsdf_f(
+    materials: MaterialTable,
+    kinds_present: tuple,
+    mat_id,
+    frame,
+    ns,
+    wo_render,
+    wi_render,
+    swl,
+    tex=None,
+    spectra_table=None,
+):
+    """Render-space BSDF evaluation over lanes (BSDF::f, bsdf.rs:31-42)."""
+    wo, wi = _local_dirs(frame, wo_render, wi_render)
+    kind = materials.kind[mat_id]
+    f = jnp.zeros(wo.shape[:-1] + (4,), jnp.float32)
+    degenerate = (jnp.abs(wo[..., 2]) < 1e-9)
+    if DIFFUSE in kinds_present:
+        refl = _diffuse_reflectance(
+            materials, mat_id, swl, (tex or {}).get("reflectance")
+        )
+        f = jnp.where((kind == DIFFUSE)[..., None], bx.diffuse_f(refl, wo, wi), f)
+    if CONDUCTOR in kinds_present or DIELECTRIC in kinds_present:
+        from shimmer_tpu.materials import conductor_dielectric as cd
+
+        f = cd.rough_f(
+            materials, kinds_present, mat_id, kind, wo, wi, swl, f,
+            tex=tex, spectra_table=spectra_table,
+        )
+    return jnp.where(degenerate[..., None], 0.0, f)
+
+
+def bsdf_sample(
+    materials: MaterialTable,
+    kinds_present: tuple,
+    mat_id,
+    frame,
+    ns,
+    wo_render,
+    u2,
+    uc,
+    swl,
+    tex=None,
+    spectra_table=None,
+) -> BSDFSample:
+    """Render-space BSDF sampling (BSDF::sample_f, bsdf.rs:60-82).
+
+    Returns the sample with ``wi`` converted back to render space."""
+    wo = frame.to_local(wo_render)
+    kind = materials.kind[mat_id]
+    batch = wo.shape[:-1]
+    out = BSDFSample.invalid(batch)
+    if DIFFUSE in kinds_present:
+        refl = _diffuse_reflectance(
+            materials, mat_id, swl, (tex or {}).get("reflectance")
+        )
+        s = bx.diffuse_sample_f(refl, wo, u2, uc)
+        out = select_sample(kind == DIFFUSE, s, out)
+    if CONDUCTOR in kinds_present or DIELECTRIC in kinds_present or THIN_DIELECTRIC in kinds_present:
+        from shimmer_tpu.materials import conductor_dielectric as cd
+
+        out = cd.rough_sample(
+            materials, kinds_present, mat_id, kind, wo, u2, uc, swl, out,
+            tex=tex, spectra_table=spectra_table,
+        )
+    degenerate = jnp.abs(wo[..., 2]) < 1e-9
+    wi_render = frame.from_local(out.wi)
+    return BSDFSample(
+        f=out.f,
+        wi=wi_render,
+        pdf=out.pdf,
+        flags=out.flags,
+        eta=out.eta,
+        pdf_is_proportional=out.pdf_is_proportional,
+        valid=out.valid & ~degenerate & (out.pdf > 0.0),
+    )
+
+
+def bsdf_pdf(
+    materials: MaterialTable,
+    kinds_present: tuple,
+    mat_id,
+    frame,
+    ns,
+    wo_render,
+    wi_render,
+    swl,
+    tex=None,
+    spectra_table=None,
+):
+    """Render-space BSDF pdf (BSDF::pdf, bsdf.rs:84-95)."""
+    wo, wi = _local_dirs(frame, wo_render, wi_render)
+    kind = materials.kind[mat_id]
+    pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
+    if DIFFUSE in kinds_present:
+        pdf = jnp.where(kind == DIFFUSE, bx.diffuse_pdf(wo, wi), pdf)
+    if CONDUCTOR in kinds_present or DIELECTRIC in kinds_present:
+        from shimmer_tpu.materials import conductor_dielectric as cd
+
+        pdf = cd.rough_pdf(
+            materials, kinds_present, mat_id, kind, wo, wi, swl, pdf,
+            tex=tex, spectra_table=spectra_table,
+        )
+    return jnp.where(jnp.abs(wo[..., 2]) < 1e-9, 0.0, pdf)

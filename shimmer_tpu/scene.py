@@ -1,0 +1,100 @@
+"""Device scene: flat SoA tables + static census.
+
+TPU-native replacement for the reference's pointer-linked scene
+(Arc-wrapped primitives, /root/reference/src/primitive.rs): geometry,
+materials and lights are flat arrays in HBM; the *census* (which material
+kinds, light kinds, shape kinds exist) is static host metadata that
+specializes the traced program — only code paths for present kinds are
+compiled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from shimmer_tpu.lights.lights import LightData, is_delta_light
+from shimmer_tpu.materials.material import MaterialTable
+from shimmer_tpu.ops.sampling import sample_discrete
+from shimmer_tpu.shapes.sphere import SphereData, sphere_intersect
+from shimmer_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class Scene:
+    spheres: SphereData | None
+    triangles: object | None      # TriangleSceneData (shapes/triangle.py)
+    materials: MaterialTable
+    lights: LightData
+    light_sample_weights: jnp.ndarray  # (L,) pmf weights (uniform or power)
+    spectra_table: jnp.ndarray | None  # (K, 471) shared dense spectra (IORs…)
+    env: object | None            # EnvLightData (lights/env.py)
+    # --- static census ---
+    material_kinds: tuple = static_field(default=())
+    light_kinds: tuple = static_field(default=())
+    n_lights: int = static_field(default=0)
+    uniform_infinite_indices: tuple = static_field(default=())
+    image_infinite_indices: tuple = static_field(default=())
+    has_spheres: bool = static_field(default=False)
+    has_triangles: bool = static_field(default=False)
+
+
+def scene_intersect(scene: Scene, ray_o, ray_d, t_max):
+    """Closest-hit intersection against all scene geometry
+    (IntegratorBase::intersect → BvhAggregate::intersect analog)."""
+    si = None
+    if scene.has_spheres:
+        si = sphere_intersect(scene.spheres, ray_o, ray_d, t_max)
+    if scene.has_triangles:
+        from shimmer_tpu.shapes.triangle import triangle_scene_intersect
+
+        si_t = triangle_scene_intersect(scene.triangles, ray_o, ray_d, t_max)
+        si = si_t if si is None else _closer(si, si_t)
+    assert si is not None, "scene has no geometry"
+    return si
+
+
+def _closer(a, b):
+    take_b = b.valid & (~a.valid | (b.t < a.t))
+    merged = {}
+    for f in dataclasses.fields(a):
+        va = getattr(a, f.name)
+        vb = getattr(b, f.name)
+        cond = take_b
+        if va.ndim > take_b.ndim:
+            cond = take_b[..., None]
+        merged[f.name] = jnp.where(cond, vb, va)
+    return type(a)(**merged)
+
+
+def scene_intersect_predicate(scene: Scene, ray_o, ray_d, t_max):
+    """Any-hit (shadow) test (IntegratorBase::intersect_predicate)."""
+    hit = jnp.zeros(ray_o.shape[:-1], bool)
+    if scene.has_spheres:
+        si = sphere_intersect(scene.spheres, ray_o, ray_d, t_max)
+        hit = hit | si.valid
+    if scene.has_triangles:
+        from shimmer_tpu.shapes.triangle import triangle_scene_occluded
+
+        hit = hit | triangle_scene_occluded(scene.triangles, ray_o, ray_d, t_max)
+    return hit
+
+
+def sample_light(scene: Scene, u):
+    """Light sampler: importance-sample the light table
+    (UniformLightSampler light_sampler.rs:78-112, or power weights —
+    the PowerLightSampler the reference lists as TODO, light_sampler.rs:32).
+
+    Returns (light_idx, pmf, u_remapped)."""
+    w = jnp.broadcast_to(
+        scene.light_sample_weights, u.shape + (scene.n_lights,)
+    )
+    return sample_discrete(w, u)
+
+
+def light_pmf(scene: Scene, light_idx):
+    """pmf of having sampled light_idx."""
+    total = jnp.sum(scene.light_sample_weights)
+    return scene.light_sample_weights[light_idx] / total
