@@ -1,0 +1,257 @@
+"""Headline benchmark: forward path-tracing throughput (Mrays/s/chip).
+
+Ganesha-class stand-in (the reference scenes live in an external repo,
+README.md:19-21): a procedurally displaced, subdivided icosphere with a few
+hundred thousand triangles, lit by an area light + environment, rendered
+with the full path integrator (NEE + MIS + RR) at 1280x720.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 100 (BASELINE.md: >= 100 Mrays/s/chip forward).
+
+Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 8),
+BENCH_RES ("WxH", default 1280x720).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_displaced_sphere(n_tris_target: int, seed: int = 0):
+    """Subdivided icosahedron with multi-octave sinusoidal displacement."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    while faces.shape[0] * 4 <= n_tris_target:
+        # midpoint subdivision (vectorized, dedup via sorted-edge keys)
+        e = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )
+        e_sorted = np.sort(e, axis=1)
+        keys = e_sorted[:, 0] * (1 << 32) + e_sorted[:, 1]
+        _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+        mid_idx = len(verts) + inv
+        new_pts = 0.5 * (verts[e_sorted[:, 0]] + verts[e_sorted[:, 1]])
+        new_verts = new_pts[first]
+        new_verts /= np.linalg.norm(new_verts, axis=1, keepdims=True)
+        m01 = mid_idx[: len(faces)]
+        m12 = mid_idx[len(faces) : 2 * len(faces)]
+        m20 = mid_idx[2 * len(faces) :]
+        f = faces
+        faces = np.concatenate(
+            [
+                np.stack([f[:, 0], m01, m20], 1),
+                np.stack([f[:, 1], m12, m01], 1),
+                np.stack([f[:, 2], m20, m12], 1),
+                np.stack([m01, m12, m20], 1),
+            ]
+        )
+        verts = np.concatenate([verts, new_verts])
+    # fractal-ish displacement
+    p = verts
+    disp = (
+        0.12 * np.sin(7.0 * p[:, 0]) * np.sin(9.0 * p[:, 1])
+        + 0.06 * np.sin(17.0 * p[:, 2] + 1.3) * np.cos(13.0 * p[:, 0])
+        + 0.03 * np.sin(31.0 * p[:, 1] + 4.0)
+    )
+    verts = p * (1.0 + disp[:, None])
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def build_bench_scene(n_tris: int):
+    import jax.numpy as jnp
+
+    from shimmer_tpu.cameras import CameraTransform, PerspectiveCamera
+    from shimmer_tpu.color.colorspace import get_named_color_space
+    from shimmer_tpu.film.filters import BoxFilter
+    from shimmer_tpu.film.film import PixelSensor, RgbFilm
+    from shimmer_tpu.lights import lights as lt
+    from shimmer_tpu.materials import material as mtl
+    from shimmer_tpu.ops.transform import Transform
+    from shimmer_tpu.scene_builder import build_scene
+    from shimmer_tpu.shapes.mesh import TriangleMesh, quad_mesh
+    from shimmer_tpu.shapes.triangle import build_triangle_scene
+    from shimmer_tpu.spectra.spectrum import ConstantSpectrum
+
+    res_s = os.environ.get("BENCH_RES", "1280x720")
+    w, h = (int(x) for x in res_s.split("x"))
+    cs = get_named_color_space("srgb")
+    ct = CameraTransform(
+        Transform.look_at(
+            jnp.array([0.0, 0.6, -3.2]),
+            jnp.array([0.0, 0.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0]),
+        )
+    )
+    cam = PerspectiveCamera(ct, (w, h), fov=40.0)
+    film = RgbFilm((w, h), BoxFilter(), PixelSensor(cs), cs)
+    r2w = cam.camera_transform.render_from_world()
+
+    verts, faces = make_displaced_sphere(n_tris)
+    mesh = TriangleMesh(r2w, faces, verts)
+    floor = quad_mesh(
+        r2w, [-8, -1.3, -8], [8, -1.3, -8], [8, -1.3, 8], [-8, -1.3, 8]
+    )
+    # emissive quad up high
+    lightq = quad_mesh(
+        r2w, [-1.0, 4.0, -1.0], [1.0, 4.0, -1.0], [1.0, 4.0, 1.0], [-1.0, 4.0, 1.0]
+    )
+    meshes = [
+        mesh.as_scene_dict(0),
+        floor.as_scene_dict(1),
+        lightq.as_scene_dict(2, area_light_id=np.array([0, 1], np.int32)),
+    ]
+    tris = build_triangle_scene(meshes)
+    n_tri_total = int(np.asarray(tris.orig_indices).shape[0])
+    scene = build_scene(
+        triangles=tris,
+        materials=[
+            {"kind": mtl.DIFFUSE, "reflectance": [0.55, 0.45, 0.35]},
+            {"kind": mtl.DIFFUSE, "reflectance": [0.4, 0.4, 0.42]},
+            {"kind": mtl.DIFFUSE, "reflectance": [0.0, 0.0, 0.0]},
+        ],
+        lights=[
+            {
+                "kind": lt.AREA,
+                "spectrum": ConstantSpectrum(1.0),
+                "scale": 15.0,
+                "shape_kind": 1,
+                "shape_idx": n_tri_total - 2 + k,
+            }
+            for k in range(2)
+        ]
+        + [
+            {
+                "kind": lt.UNIFORM_INFINITE,
+                "spectrum": cs.illuminant,
+                "photometric": True,
+                "scale": 0.3,
+            }
+        ],
+        render_from_world=r2w,
+    )
+    return scene, cam, film, n_tri_total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from shimmer_tpu.integrators.path import li_path
+    from shimmer_tpu.render import make_wave_renderer, pixel_blocks
+    from shimmer_tpu.samplers import ZSobolSampler
+    from shimmer_tpu.film.filters import get_camera_sample
+
+    n_tris = int(os.environ.get("BENCH_TRIS", "300000"))
+    spp = int(os.environ.get("BENCH_SPP", "8"))
+    max_depth = 5
+
+    t0 = time.time()
+    scene, cam, film, n_tri_total = build_bench_scene(n_tris)
+    w, h = film.resolution
+    sampler = ZSobolSampler(spp, (w, h))
+    build_s = time.time() - t0
+    print(
+        f"# scene: {n_tri_total} tris, {w}x{h}, spp={spp}, depth={max_depth}, "
+        f"build {build_s:.1f}s, device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    block = int(os.environ.get("BENCH_BLOCK", str(1 << 15)))
+    wave_fn = make_wave_renderer(
+        scene, cam, film, sampler, "path", max_depth=max_depth
+    )
+    blocks, valids = pixel_blocks(film, block)
+    n_blocks = blocks.shape[0]
+
+    # Ray-count instrumentation: 1 spp with counting enabled (per block).
+    @jax.jit
+    def count_rays(sample_index, pixel_xy):
+        s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
+        u_lam, s_state = sampler.get_1d(s_state)
+        swl = film.sample_wavelengths(u_lam)
+        u_f, s_state = sampler.get_pixel_2d(s_state)
+        u_l, s_state = sampler.get_2d(s_state)
+        p_film, wt, _ = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
+        ray = cam.generate_ray(p_film, u_l)
+        _, stats = li_path(
+            scene, ray, swl, sampler, s_state, max_depth, return_stats=True
+        )
+        return stats["rays"]
+
+    rays_per_sample = sum(
+        float(count_rays(jnp.uint32(0), blocks[b])) for b in range(n_blocks)
+    )
+    print(
+        f"# rays per 1spp wave: {rays_per_sample/1e6:.2f}M "
+        f"({rays_per_sample/(w*h):.2f} rays/pixel)",
+        file=sys.stderr,
+    )
+
+    # Warmup (compile) then timed waves.
+    state = film.init_state()
+    t0 = time.time()
+    state = wave_fn(state, jnp.arange(1, dtype=jnp.uint32), blocks[0], valids[0])
+    jax.block_until_ready(state)
+    compile_s = time.time() - t0
+    print(f"# wave compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for b in range(1, n_blocks):
+        state = wave_fn(state, jnp.arange(1, dtype=jnp.uint32), blocks[b], valids[b])
+    done = 1
+    while done < spp:
+        n = min(4, spp - done)
+        idx = jnp.arange(done, done + n, dtype=jnp.uint32)
+        for b in range(n_blocks):
+            state = wave_fn(state, idx, blocks[b], valids[b])
+        done += n
+    jax.block_until_ready(state)
+    render_s = time.time() - t0
+    # timed work: (n_blocks-1) blocks of wave 0 + full waves 1..spp-1
+    total_rays = rays_per_sample * ((spp - 1) + (n_blocks - 1) / max(n_blocks, 1))
+    mrays = total_rays / render_s / 1e6
+
+    img = film.get_image(state)
+    mean = float(jnp.mean(img))
+    assert np.isfinite(mean) and mean > 0, "bench render produced bad image"
+    print(
+        f"# {spp-1} spp in {render_s:.2f}s, image mean {mean:.4f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_path_trace_throughput",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -192,7 +192,12 @@ class RgbFilm:
 
     def _clamped_rgb(self, L, swl):
         rgb = self.sensor.to_sensor_rgb(L, swl)
-        # Firefly clamp (film.rs:561-566).
+        # Firefly clamp (film.rs:561-566).  Static skip when unbounded —
+        # inf/m in the untaken where-branch would NaN the backward pass.
+        import math
+
+        if math.isinf(self.max_component_value):
+            return rgb
         m = jnp.max(rgb, axis=-1)
         scale = jnp.where(
             m > self.max_component_value,

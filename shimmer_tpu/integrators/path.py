@@ -184,11 +184,14 @@ def li_path(
     s_state,
     max_depth: int = 5,
     regularize: bool = False,
+    return_stats: bool = False,
 ):
     """Production path integrator: NEE + MIS power heuristic + Russian
     roulette (PathIntegrator::li, integrator.rs:730-963).
 
-    ray: (N,)-lane Ray; returns (N, 4) radiance estimate.
+    ray: (N,)-lane Ray; returns (N, 4) radiance estimate (with
+    return_stats: also a dict with 'rays' = total rays traced, the
+    closest-hit + shadow-ray count used for Mrays/s benchmarks).
     """
     n = ray.o.shape[:-1]
     l = jnp.zeros(n + (4,), jnp.float32)
@@ -200,9 +203,11 @@ def li_path(
     prev_p = ray.o
     prev_ns = jnp.zeros(n + (3,), jnp.float32)
     any_non_specular = jnp.zeros(n, bool)
+    rays_traced = jnp.zeros((), jnp.float32)
     ray_o, ray_d = ray.o, ray.d
 
     for depth in range(max_depth + 1):
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         si = scene_intersect(scene, ray_o, ray_d, jnp.full(n, INF))
         miss = alive & ~si.valid
         l = _infinite_le_with_mis(
@@ -225,7 +230,8 @@ def li_path(
             bsdf_ctx["tex"] = dict(bsdf_ctx.get("tex") or {})
             bsdf_ctx["tex"]["regularize"] = any_non_specular
 
-        # --- NEE ---
+        # --- NEE (one shadow ray per alive lane) ---
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         ld, s_state = sample_ld(scene, si, frame, swl, sampler, s_state, bsdf_ctx)
         l = l + jnp.where(alive[..., None], beta * ld, 0.0)
 
@@ -289,6 +295,8 @@ def li_path(
             )
             alive = alive & ~kill
 
+    if return_stats:
+        return l, {"rays": rays_traced}
     return l
 
 

@@ -3,20 +3,20 @@
 TPU-native replacement for /root/reference/src/aggregate.rs.  The reference
 builds a pointer tree recursively (Middle/EqualCounts splits,
 aggregate.rs:304-419) and flattens it for an iterative *stack* traversal
-(depth-64 stack, :71-139).  A per-lane stack is hostile to a vector machine,
-so the TPU design differs:
+(depth-64 stack, :71-139).  A per-lane stack is hostile to a vector
+machine, and lock-step SIMD traversal pays for the worst lane, so tree
+*quality* matters more than on a CPU.  The TPU design:
 
-* **Build**: triangles are sorted along a 30-bit Morton curve of their
-  centroids and a *complete binary tree* is built over equal ranges — a
-  fully vectorized numpy build (O(T log T), milliseconds for millions of
-  triangles), equivalent in spirit to an LBVH.  Split quality ≈ the
-  reference's Middle/EqualCounts (it has no SAH either, aggregate.rs:52).
-* **Layout**: nodes are laid out in *preorder* with a ``skip`` link
-  (threaded BVH): traversal needs only one integer of state per lane —
-  ``next = hit ? node+1 : skip[node]`` — no stack, perfectly uniform
-  control flow across lanes.
-* Leaves own ``leaf_size`` consecutive triangles of the sorted order, so
-  leaf tests unroll statically.
+* **Build**: LBVH with Karras-2012 radix splits over 60-bit Morton keys —
+  every internal node splits its primitive range at the highest differing
+  Morton bit (a spatial-median cut); subtrees with ≤ leaf_size primitives
+  collapse into leaves.  The build (RMQ split search via a sparse table,
+  level-synchronous hierarchy emission, bottom-up subtree counts, preorder
+  layout, range-union bounds) is fully vectorized numpy: no Python
+  recursion, O(T log T).
+* **Layout**: nodes in *preorder* with a ``skip`` link (threaded BVH):
+  traversal state is one int per lane — ``next = hit ? node+1 : skip`` —
+  uniform control flow across lanes.
 
 An optional C++ builder (shimmer_tpu.native) provides binned-SAH quality
 for the same array layout.
@@ -36,20 +36,23 @@ class BVHArrays:
     node_lo: np.ndarray      # (B, 3) AABB min
     node_hi: np.ndarray      # (B, 3) AABB max
     leaf_first: np.ndarray   # (B,) int32: first sorted-tri index, -1 internal
+    leaf_count: np.ndarray   # (B,) int32: triangles in leaf (0 internal)
     skip: np.ndarray         # (B,) int32: next preorder node if missed; B = end
-    perm: np.ndarray         # (P*leaf_size,) int32: sorted tri order, -1 pad
-    leaf_size: int
+    perm: np.ndarray         # (T,) int32: sorted tri order
+    leaf_size: int           # max leaf occupancy actually produced
     n_nodes: int
 
 
 def morton_encode_3d(q: np.ndarray) -> np.ndarray:
-    """Interleave 10-bit x/y/z quantized coords into 30-bit Morton codes."""
+    """Interleave 20-bit x/y/z quantized coords into 60-bit Morton codes."""
+
     def spread(v):
         v = v.astype(np.uint64)
-        v = (v | (v << 16)) & np.uint64(0x030000FF)
-        v = (v | (v << 8)) & np.uint64(0x0300F00F)
-        v = (v | (v << 4)) & np.uint64(0x030C30C3)
-        v = (v | (v << 2)) & np.uint64(0x09249249)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
         return v
 
     return (
@@ -59,104 +62,245 @@ def morton_encode_3d(q: np.ndarray) -> np.ndarray:
     )
 
 
-def build_bvh(
-    lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4
-) -> BVHArrays:
-    """Build a threaded BVH over per-primitive AABBs.
+def _common_prefix_lengths(keys: np.ndarray) -> np.ndarray:
+    """cpl[i] = number of leading common bits of keys[i], keys[i+1]
+    (with index tie-break for equal keys, Karras §4)."""
+    n = len(keys)
+    x = keys[:-1] ^ keys[1:]
+    cpl = np.full(n - 1, 64, np.int64)
+    for b in range(63, -1, -1):
+        has = ((x >> np.uint64(b)) & np.uint64(1)) == 1
+        first = has & (cpl == 64)
+        cpl[first] = 63 - b
+    eq = x == 0
+    if eq.any():
+        idx = np.arange(n - 1, dtype=np.uint64)
+        tie = idx ^ (idx + np.uint64(1))
+        tcp = np.full(n - 1, 64, np.int64)
+        for b in range(63, -1, -1):
+            has = ((tie >> np.uint64(b)) & np.uint64(1)) == 1
+            first = has & (tcp == 64)
+            tcp[first] = 63 - b
+        cpl = np.where(eq, 64 + tcp, cpl)
+    return cpl
 
-    lo, hi: (T, 3) primitive bounds.  Returns preorder arrays; primitive
-    payloads must be gathered through ``perm``.
+
+class _ArgminSparseTable:
+    """Vectorized range-argmin over a fixed array (ties → leftmost)."""
+
+    def __init__(self, values: np.ndarray):
+        self.values = values
+        n = len(values)
+        self.tables = [np.arange(n, dtype=np.int64)]
+        j = 1
+        while (1 << j) <= n:
+            h = 1 << (j - 1)
+            prev = self.tables[-1]
+            a = prev[: n - (1 << j) + 1]
+            b = prev[h : h + n - (1 << j) + 1]
+            take_a = values[a] <= values[b]
+            self.tables.append(np.where(take_a, a, b))
+            j += 1
+
+    def query(self, l: np.ndarray, r: np.ndarray) -> np.ndarray:
+        """argmin over [l, r] inclusive, vectorized; requires l <= r."""
+        length = r - l + 1
+        j = np.zeros_like(length)
+        jl = np.floor(np.log2(length)).astype(np.int64)
+        res = np.empty(len(l), np.int64)
+        for jv in np.unique(jl):
+            m = jl == jv
+            t = self.tables[jv]
+            a = t[l[m]]
+            b = t[r[m] - (1 << jv) + 1]
+            res[m] = np.where(self.values[a] <= self.values[b], a, b)
+        return res
+
+
+class _RangeUnion:
+    """Vectorized AABB union over leaf ranges via overlapping power-of-two
+    segments (min/max are idempotent, so overlap is harmless)."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        self.lo_t = [lo]
+        self.hi_t = [hi]
+        n = len(lo)
+        j = 1
+        while (1 << j) <= n:
+            h = 1 << (j - 1)
+            pl, ph = self.lo_t[-1], self.hi_t[-1]
+            self.lo_t.append(np.minimum(pl[: len(pl) - h], pl[h:]))
+            self.hi_t.append(np.maximum(ph[: len(ph) - h], ph[h:]))
+            j += 1
+
+    def query(self, l: np.ndarray, r: np.ndarray):
+        length = r - l + 1
+        jl = np.floor(np.log2(length)).astype(np.int64)
+        lo = np.empty((len(l), 3), np.float32)
+        hi = np.empty((len(l), 3), np.float32)
+        for jv in np.unique(jl):
+            m = jl == jv
+            a = l[m]
+            b = r[m] + 1 - (1 << jv)
+            lo[m] = np.minimum(self.lo_t[jv][a], self.lo_t[jv][b])
+            hi[m] = np.maximum(self.hi_t[jv][a], self.hi_t[jv][b])
+        return lo, hi
+
+
+def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
+    """Build a threaded LBVH over per-primitive AABBs.
+
+    Returns preorder node arrays; primitive payloads must be gathered
+    through ``perm``.
     """
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     t = lo.shape[0]
     assert t > 0
     centroids = 0.5 * (lo + hi)
-
-    # Morton sort.
     cmin = centroids.min(axis=0)
     cext = np.maximum(centroids.max(axis=0) - cmin, 1e-12)
-    q = np.clip(((centroids - cmin) / cext * 1023.0), 0, 1023).astype(np.uint32)
+    q = np.clip(
+        (centroids - cmin) / cext * float((1 << 20) - 1), 0, (1 << 20) - 1
+    ).astype(np.uint64)
     order = np.argsort(morton_encode_3d(q), kind="stable").astype(np.int32)
+    codes = morton_encode_3d(q)[order]
 
-    # Pad sorted order to a power-of-two leaf count.
-    n_leaves_raw = -(-t // leaf_size)
-    n_leaves = 1 << max(0, (n_leaves_raw - 1).bit_length())
-    perm = np.full(n_leaves * leaf_size, -1, np.int32)
-    perm[:t] = order
+    tri_lo = lo[order]
+    tri_hi = hi[order]
 
-    # Leaf bounds: union over each leaf's (padded) triangles.
-    big = np.float32(np.inf)
-    pl = np.where(perm >= 0, perm, 0)
-    tri_lo = np.where(perm[:, None] >= 0, lo[pl], big)
-    tri_hi = np.where(perm[:, None] >= 0, hi[pl], -big)
-    leaf_lo = tri_lo.reshape(n_leaves, leaf_size, 3).min(axis=1)
-    leaf_hi = tri_hi.reshape(n_leaves, leaf_size, 3).max(axis=1)
+    if t <= leaf_size:
+        return BVHArrays(
+            node_lo=tri_lo.min(0, keepdims=True),
+            node_hi=tri_hi.max(0, keepdims=True),
+            leaf_first=np.array([0], np.int32),
+            leaf_count=np.array([t], np.int32),
+            skip=np.array([1], np.int32),
+            perm=order,
+            leaf_size=t,
+            n_nodes=1,
+        )
 
-    depth = n_leaves.bit_length() - 1  # leaves at level == depth
-    n_nodes = 2 * n_leaves - 1
+    cpl = _common_prefix_lengths(codes)
+    rmq = _ArgminSparseTable(cpl)
+    union = _RangeUnion(tri_lo, tri_hi)
 
-    # Bottom-up bounds per level: level l has 2^l nodes.
-    level_lo = [None] * (depth + 1)
-    level_hi = [None] * (depth + 1)
-    level_lo[depth] = leaf_lo
-    level_hi[depth] = leaf_hi
-    for l in range(depth - 1, -1, -1):
-        level_lo[l] = np.minimum(level_lo[l + 1][0::2], level_lo[l + 1][1::2])
-        level_hi[l] = np.maximum(level_hi[l + 1][0::2], level_hi[l + 1][1::2])
-
-    # Preorder index and skip link per level (vectorized over the level).
-    #   left-child preorder  = parent + 1
-    #   right-child preorder = parent + 1 + subtree_size(child_level)
-    #   left-child skip      = right sibling's preorder
-    #   right-child skip     = parent's skip
-    node_lo = np.empty((n_nodes, 3), np.float32)
-    node_hi = np.empty((n_nodes, 3), np.float32)
-    leaf_first = np.full(n_nodes, -1, np.int32)
-    skip = np.empty(n_nodes, np.int32)
-
-    pre = np.zeros(1, np.int64)      # preorder indices of current level
-    skp = np.array([n_nodes], np.int64)
-    for l in range(depth + 1):
-        node_lo[pre] = level_lo[l]
-        node_hi[pre] = level_hi[l]
-        skip[pre] = skp
-        if l == depth:
-            leaf_first[pre] = np.arange(n_leaves, dtype=np.int64) * leaf_size
+    # --- pass 1: level-synchronous top-down discovery ---
+    # node records: l, r (triangle range), parent id, is_left flag
+    nl = [np.array([0], np.int64)]
+    nr = [np.array([t - 1], np.int64)]
+    nparent = [np.array([-1], np.int64)]
+    nleft = [np.array([True])]
+    level_offsets = [0]
+    total = 1
+    cur_l, cur_r = nl[0], nr[0]
+    cur_ids = np.array([0], np.int64)
+    while True:
+        internal = (cur_r - cur_l + 1) > leaf_size
+        if not internal.any():
             break
-        sub = (1 << (depth - l)) - 1  # subtree size at level l+1
-        left_pre = pre + 1
-        right_pre = pre + 1 + sub
-        next_pre = np.empty(2 * len(pre), np.int64)
-        next_pre[0::2] = left_pre
-        next_pre[1::2] = right_pre
-        next_skp = np.empty(2 * len(pre), np.int64)
-        next_skp[0::2] = right_pre
-        next_skp[1::2] = skp
-        pre, skp = next_pre, next_skp
+        l_, r_ = cur_l[internal], cur_r[internal]
+        pid = cur_ids[internal]
+        split = rmq.query(l_, r_ - 1)  # left = [l, split], right = [split+1, r]
+        child_l = np.concatenate([l_, split + 1])
+        child_r = np.concatenate([split, r_])
+        child_parent = np.concatenate([pid, pid])
+        child_left = np.concatenate(
+            [np.ones(len(l_), bool), np.zeros(len(l_), bool)]
+        )
+        ids = total + np.arange(len(child_l), dtype=np.int64)
+        nl.append(child_l)
+        nr.append(child_r)
+        nparent.append(child_parent)
+        nleft.append(child_left)
+        level_offsets.append(total)
+        total += len(child_l)
+        cur_l, cur_r, cur_ids = child_l, child_r, ids
+
+    node_l = np.concatenate(nl)
+    node_r = np.concatenate(nr)
+    parent = np.concatenate(nparent)
+    is_left = np.concatenate(nleft)
+    n_nodes = total
+    is_leaf = (node_r - node_l + 1) <= leaf_size
+
+    # children pointers (scatter from parent arrays)
+    left_child = np.full(n_nodes, -1, np.int64)
+    right_child = np.full(n_nodes, -1, np.int64)
+    ids_all = np.arange(n_nodes, dtype=np.int64)
+    has_parent = parent >= 0
+    lmask = has_parent & is_left
+    rmask = has_parent & ~is_left
+    left_child[parent[lmask]] = ids_all[lmask]
+    right_child[parent[rmask]] = ids_all[rmask]
+
+    # --- pass 2: subtree node counts, bottom-up by level ---
+    counts = np.ones(n_nodes, np.int64)
+    n_levels = len(nl)
+    for lev in range(n_levels - 1, 0, -1):
+        start = level_offsets[lev]
+        end = level_offsets[lev + 1] if lev + 1 < len(level_offsets) else n_nodes
+        ids = np.arange(start, end, dtype=np.int64)
+        np.add.at(counts, parent[ids], counts[ids])
+
+    # --- pass 3: preorder + skip, top-down by level ---
+    pre = np.zeros(n_nodes, np.int64)
+    skp = np.zeros(n_nodes, np.int64)
+    pre[0] = 0
+    skp[0] = n_nodes
+    for lev in range(0, n_levels - 1):
+        start = level_offsets[lev]
+        end = level_offsets[lev + 1] if lev + 1 < len(level_offsets) else n_nodes
+        ids = np.arange(start, end, dtype=np.int64)
+        ids = ids[~is_leaf[ids]]
+        if len(ids) == 0:
+            continue
+        lc = left_child[ids]
+        rc = right_child[ids]
+        pre[lc] = pre[ids] + 1
+        pre[rc] = pre[ids] + 1 + counts[lc]
+        skp[lc] = pre[rc]
+        skp[rc] = skp[ids]
+
+    # --- bounds + scatter into preorder layout ---
+    blo, bhi = union.query(node_l, node_r)
+    node_lo_arr = np.empty((n_nodes, 3), np.float32)
+    node_hi_arr = np.empty((n_nodes, 3), np.float32)
+    node_lo_arr[pre] = blo
+    node_hi_arr[pre] = bhi
+    leaf_first = np.full(n_nodes, -1, np.int32)
+    leaf_count = np.zeros(n_nodes, np.int32)
+    leaf_first[pre[is_leaf]] = node_l[is_leaf].astype(np.int32)
+    leaf_count[pre[is_leaf]] = (
+        node_r[is_leaf] - node_l[is_leaf] + 1
+    ).astype(np.int32)
+    skip = np.empty(n_nodes, np.int32)
+    skip[pre] = skp.astype(np.int32)
 
     return BVHArrays(
-        node_lo=node_lo,
-        node_hi=node_hi,
+        node_lo=node_lo_arr,
+        node_hi=node_hi_arr,
         leaf_first=leaf_first,
-        skip=skip.astype(np.int32),
-        perm=perm,
-        leaf_size=leaf_size,
+        leaf_count=leaf_count,
+        skip=skip,
+        perm=order,
+        leaf_size=int(leaf_count.max()),
         n_nodes=n_nodes,
     )
 
 
 def bvh_validate(bvh: BVHArrays, lo: np.ndarray, hi: np.ndarray) -> bool:
-    """Host sanity check: every primitive's box is inside its leaf's box and
-    all internal boxes contain their subtree (preorder contiguity)."""
+    """Host sanity check: primitives inside their leaf boxes, every
+    primitive in exactly one leaf."""
+    seen = np.zeros(lo.shape[0], np.int32)
     ok = True
-    t = lo.shape[0]
-    for leaf_pre in np.nonzero(bvh.leaf_first >= 0)[0]:
-        first = bvh.leaf_first[leaf_pre]
-        for k in range(bvh.leaf_size):
-            tri = bvh.perm[first + k]
-            if tri < 0:
-                continue
-            ok &= bool(np.all(lo[tri] >= bvh.node_lo[leaf_pre] - 1e-4))
-            ok &= bool(np.all(hi[tri] <= bvh.node_hi[leaf_pre] + 1e-4))
+    for pre in np.nonzero(bvh.leaf_first >= 0)[0]:
+        first = int(bvh.leaf_first[pre])
+        count = int(bvh.leaf_count[pre])
+        for k in range(count):
+            tri = int(bvh.perm[first + k])
+            seen[tri] += 1
+            ok &= bool(np.all(lo[tri] >= bvh.node_lo[pre] - 1e-4))
+            ok &= bool(np.all(hi[tri] <= bvh.node_hi[pre] + 1e-4))
+    ok &= bool(np.all(seen == 1))
     return ok

@@ -23,17 +23,52 @@ def lerp(t, a, b):
     return (1.0 - t) * a + t * b
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
-    """sqrt clamped to non-negative input (src/math.rs safe_sqrt)."""
+    """sqrt clamped to non-negative input (src/math.rs safe_sqrt).
+
+    Custom derivative: clamped near 0 so masked dead lanes cannot poison
+    gradients with 0·inf = NaN (forward value is exact)."""
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    y = jnp.sqrt(jnp.maximum(x, 0.0))
+    deriv = jnp.where(x > 1e-12, 0.5 / jnp.maximum(y, 1e-12), 0.0)
+    return y, deriv * dx
+
+
+@jax.custom_jvp
 def safe_asin(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
 
 
+@safe_asin.defjvp
+def _safe_asin_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    xc = jnp.clip(x, -1.0, 1.0)
+    denom = jnp.sqrt(jnp.maximum(1.0 - xc * xc, 1e-12))
+    inside = jnp.abs(x) < 1.0 - 1e-7
+    return jnp.arcsin(xc), jnp.where(inside, dx / denom, 0.0)
+
+
+@jax.custom_jvp
 def safe_acos(x):
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    xc = jnp.clip(x, -1.0, 1.0)
+    denom = jnp.sqrt(jnp.maximum(1.0 - xc * xc, 1e-12))
+    inside = jnp.abs(x) < 1.0 - 1e-7
+    return jnp.arccos(xc), jnp.where(inside, -dx / denom, 0.0)
 
 
 def safe_div(a, b):

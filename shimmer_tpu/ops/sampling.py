@@ -51,7 +51,9 @@ def power_heuristic(nf, f_pdf, ng, g_pdf):
     f = nf * f_pdf
     g = ng * g_pdf
     f2 = sqr(f)
-    w = f2 / (f2 + sqr(g))
+    denom = f2 + sqr(g)
+    # Double-where keeps masked lanes' partials finite (no 0·inf NaN in AD).
+    w = jnp.where(denom > 0.0, f2 / jnp.where(denom > 0.0, denom, 1.0), 0.0)
     # inf^2 / (inf^2 + x) -> 1 (reference guards the same way).
     return jnp.where(jnp.isinf(f2), 1.0, w)
 

@@ -57,7 +57,8 @@ def length_squared(v):
 
 
 def length(v):
-    return jnp.sqrt(length_squared(v))
+    # safe_sqrt: grad clamped at 0 so masked degenerate lanes don't NaN.
+    return safe_sqrt(length_squared(v))
 
 
 def normalize(v):

@@ -4,19 +4,16 @@ TPU-native analog of /root/reference/src/render.rs +
 ImageTileIntegrator::render (src/integrator.rs:119-397).  The reference
 tiles the image 8×8 over rayon threads and renders spp in growing waves
 (1, 2, 4, …, 64); here one *wave* is a single jitted program evaluating a
-fixed number of samples for every pixel at once — the chip's vector lanes
+fixed number of samples for a pixel block at once — the chip's vector lanes
 replace threads, the wave loop replaces the spp loop, and the film update is
-a scatter-add instead of locked pixel writes.  Multi-chip sharding wraps
-``render_wave`` in shard_map (shimmer_tpu.parallel).
+a scatter-add instead of locked pixel writes.  Multi-chip sharding wraps the
+same wave body in shard_map (shimmer_tpu.parallel.render).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from shimmer_tpu.film.filters import get_camera_sample
 from shimmer_tpu.film.film import FilmState, RgbFilm
@@ -30,6 +27,66 @@ INTEGRATORS = {
 }
 
 
+def render_pixel_samples(
+    scene: Scene,
+    camera,
+    film: RgbFilm,
+    sampler,
+    li_fn,
+    opts: dict,
+    film_state: FilmState,
+    sample_indices,
+    pixel_xy,
+    pixel_valid=None,
+    max_depth: int = 5,
+    use_visible_wavelengths: bool = True,
+):
+    """Core wave body: render every sample index for a pixel block and
+    scatter into the film (evaluate_pixel_sample, integrator.rs:326-396).
+
+    pixel_xy: (N, 2) int32; pixel_valid: optional (N,) mask for padded
+    lanes (their filter weight is zeroed, so they never contribute).
+    """
+
+    def one_sample(fs, sample_index):
+        s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
+        # Draw order mirrors the reference: wavelengths, filter, lens.
+        u_lam, s_state = sampler.get_1d(s_state)
+        if use_visible_wavelengths:
+            swl = film.sample_wavelengths(u_lam)
+        else:
+            from shimmer_tpu.spectra.sampled import SampledWavelengths
+
+            swl = SampledWavelengths.sample_uniform(u_lam)
+        u_filter, s_state = sampler.get_pixel_2d(s_state)
+        u_lens, s_state = sampler.get_2d(s_state)
+        p_film, weight, u_lens = get_camera_sample(
+            film.filter, pixel_xy, u_filter, u_lens
+        )
+        if pixel_valid is not None:
+            weight = jnp.where(pixel_valid, weight, 0.0)
+        ray = camera.generate_ray(p_film, u_lens)
+        l = li_fn(scene, ray, swl, sampler, s_state, max_depth, **opts)
+        # NaN/∞ guard (integrator.rs:377-382).
+        bad = jnp.any(~jnp.isfinite(l), axis=-1)
+        l = jnp.where(bad[..., None], 0.0, l)
+        fs = film.add_samples(fs, pixel_xy, l, swl, weight)
+        return fs, None
+
+    film_state, _ = jax.lax.scan(one_sample, film_state, sample_indices)
+    return film_state
+
+
+def full_image_pixels(film: RgbFilm):
+    w, h = film.resolution
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.int32),
+        jnp.arange(w, dtype=jnp.int32),
+        indexing="ij",
+    )
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+
 def make_wave_renderer(
     scene: Scene,
     camera,
@@ -41,57 +98,62 @@ def make_wave_renderer(
     use_visible_wavelengths: bool = True,
     integrator_options: dict | None = None,
 ):
-    """Build the jitted per-wave render function.
+    """Jitted wave function over a pixel block.
 
-    Returns wave_fn(film_state, sample_index_base, wave_spp) — but since
-    wave_spp must be static we close over it per call via partial jit.
+    The pixel block is a *traced argument*: one compile serves every block
+    of the image and every wave (XLA compile time grows with lane count, so
+    the program is compiled once at block size and reused — the TPU analog
+    of the reference's fixed 8×8 tiles, tile.rs:21-104, at 2^15 lanes).
     """
     li_fn = INTEGRATORS[integrator]
-    w, h = film.resolution
     opts = dict(integrator_options or {})
     if integrator == "path" and regularize:
         opts["regularize"] = True
 
-    def render_samples(film_state: FilmState, sample_indices: jnp.ndarray):
-        """Render one sample index per pixel for each index in
-        sample_indices (static length), scatter into film."""
-        ys, xs = jnp.meshgrid(
-            jnp.arange(h, dtype=jnp.int32),
-            jnp.arange(w, dtype=jnp.int32),
-            indexing="ij",
+    def render_samples(
+        film_state: FilmState, sample_indices, pixel_xy, pixel_valid
+    ):
+        return render_pixel_samples(
+            scene,
+            camera,
+            film,
+            sampler,
+            li_fn,
+            opts,
+            film_state,
+            sample_indices,
+            pixel_xy,
+            pixel_valid=pixel_valid,
+            max_depth=max_depth,
+            use_visible_wavelengths=use_visible_wavelengths,
         )
-        pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (N,2)
-
-        def one_sample(fs, sample_index):
-            s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
-            # Draw order mirrors evaluate_pixel_sample
-            # (integrator.rs:326-396): wavelengths, filter, lens.
-            u_lam, s_state = sampler.get_1d(s_state)
-            if use_visible_wavelengths:
-                swl = film.sample_wavelengths(u_lam)
-            else:
-                from shimmer_tpu.spectra.sampled import SampledWavelengths
-
-                swl = SampledWavelengths.sample_uniform(u_lam)
-            u_filter, s_state = sampler.get_pixel_2d(s_state)
-            u_lens, s_state = sampler.get_2d(s_state)
-            p_film, weight, u_lens = get_camera_sample(
-                film.filter, pixel_xy, u_filter, u_lens
-            )
-            ray = camera.generate_ray(p_film, u_lens)
-            l = li_fn(scene, ray, swl, sampler, s_state, max_depth, **opts)
-            # NaN/∞ guard (integrator.rs:377-382).
-            bad = jnp.any(~jnp.isfinite(l), axis=-1)
-            l = jnp.where(bad[..., None], 0.0, l)
-            fs = film.add_samples(fs, pixel_xy, l, swl, weight)
-            return fs, None
-
-        film_state, _ = jax.lax.scan(
-            one_sample, film_state, sample_indices
-        )
-        return film_state
 
     return jax.jit(render_samples)
+
+
+DEFAULT_PIXEL_BLOCK = 1 << 15
+
+
+def pixel_blocks(film: RgbFilm, block: int):
+    """Split the image into fixed-size pixel blocks (+ validity masks)."""
+    import numpy as np
+
+    w, h = film.resolution
+    n = w * h
+    block = min(block, n)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.int32)
+    pad = (-n) % block
+    if pad:
+        px = np.concatenate([px, np.zeros((pad, 2), np.int32)])
+    valid = np.ones(n + pad, bool)
+    if pad:
+        valid[n:] = False
+    n_blocks = (n + pad) // block
+    return (
+        jnp.asarray(px.reshape(n_blocks, block, 2)),
+        jnp.asarray(valid.reshape(n_blocks, block)),
+    )
 
 
 def render(
@@ -107,10 +169,14 @@ def render(
     integrator_options: dict | None = None,
     film_state: FilmState | None = None,
     progress=None,
+    pixel_block: int = DEFAULT_PIXEL_BLOCK,
 ):
-    """Full render: wave loop on host, one jitted program per wave size.
+    """Full render: wave × pixel-block loop on host, ONE jitted program.
 
-    Returns the resolved (H, W, 3) image and the final FilmState."""
+    Returns the resolved (H, W, 3) image and the final FilmState.  The
+    FilmState after any wave is a checkpoint: pass it back as
+    ``film_state`` to resume (the checkpoint/resume hook the reference
+    lacks, SURVEY.md §5)."""
     spp = spp if spp is not None else sampler.samples_per_pixel
     wave_fn = make_wave_renderer(
         scene,
@@ -123,11 +189,14 @@ def render(
         integrator_options=integrator_options,
     )
     state = film_state if film_state is not None else film.init_state()
+    blocks, valids = pixel_blocks(film, pixel_block)
+    n_blocks = blocks.shape[0]
     start = 0
     while start < spp:
         n = min(wave_spp, spp - start)
         idx = jnp.arange(start, start + n, dtype=jnp.uint32)
-        state = wave_fn(state, idx)
+        for b in range(n_blocks):
+            state = wave_fn(state, idx, blocks[b], valids[b])
         start += n
         if progress is not None:
             progress(start, spp)

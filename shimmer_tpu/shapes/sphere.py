@@ -285,7 +285,7 @@ def sphere_sample_with_context(data: SphereData, idx, ref_p, ref_ns, u):
     )
     n_out = frame.from_local(w_dir)
     p_out = center + radius[..., None] * n_out
-    pdf_out = 1.0 / (2.0 * jnp.pi * (1.0 - cos_theta_max))
+    pdf_out = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-9))
 
     # --- inside: uniform area, converted to solid angle ---
     p_in, n_in, pdf_area = sphere_sample(data, idx, u)
@@ -315,7 +315,7 @@ def sphere_pdf_with_context(data: SphereData, idx, ref_p, wi, si_p, si_n):
 
     sin2_theta_max = sqr(radius) / dc2
     cos_theta_max = safe_sqrt(1.0 - sin2_theta_max)
-    pdf_out = 1.0 / (2.0 * jnp.pi * (1.0 - cos_theta_max))
+    pdf_out = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-9))
 
     # Inside: area pdf → solid angle using provided hit point.
     dist2 = distance_squared(ref_p, si_p)

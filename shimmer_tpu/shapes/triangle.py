@@ -48,11 +48,11 @@ class TriangleSceneData:
     p: jnp.ndarray          # (V, 3)
     n: jnp.ndarray          # (V, 3) shading normals (zeros if absent)
     uv: jnp.ndarray         # (V, 2)
-    # BVH-ordered padded triangle table (T',):
-    indices: jnp.ndarray    # (T', 3) int32 into vertex pool
-    material_id: jnp.ndarray    # (T',) int32, -2 = padding
-    area_light_id: jnp.ndarray  # (T',) int32
-    reverse_orientation: jnp.ndarray  # (T',) bool
+    # BVH-ordered triangle table (T,):
+    indices: jnp.ndarray    # (T, 3) int32 into vertex pool
+    material_id: jnp.ndarray    # (T,) int32
+    area_light_id: jnp.ndarray  # (T,) int32
+    reverse_orientation: jnp.ndarray  # (T,) bool
     # Original-order triangle table (for light sampling by shape index):
     orig_indices: jnp.ndarray  # (T, 3)
     orig_rev: jnp.ndarray      # (T,) bool
@@ -60,7 +60,8 @@ class TriangleSceneData:
     # Threaded BVH:
     node_lo: jnp.ndarray    # (B, 3)
     node_hi: jnp.ndarray    # (B, 3)
-    leaf_first: jnp.ndarray  # (B,)
+    leaf_first: jnp.ndarray  # (B,) -1 = internal
+    leaf_count: jnp.ndarray  # (B,)
     skip: jnp.ndarray        # (B,)
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
@@ -122,14 +123,12 @@ def build_triangle_scene(
     hi = tri_p.max(axis=1)
     bvh = build_bvh(lo, hi, leaf_size)
 
-    # Permuted padded tables.
+    # BVH-order permuted tables.
     perm = bvh.perm
-    pad_ok = perm >= 0
-    pidx = np.where(pad_ok, perm, 0)
-    sorted_indices = np.where(pad_ok[:, None], indices[pidx], 0).astype(np.int32)
-    sorted_mat = np.where(pad_ok, material_id[pidx], -2).astype(np.int32)
-    sorted_ali = np.where(pad_ok, area_light_id[pidx], -1).astype(np.int32)
-    sorted_rev = np.where(pad_ok, rev[pidx], False)
+    sorted_indices = indices[perm].astype(np.int32)
+    sorted_mat = material_id[perm].astype(np.int32)
+    sorted_ali = area_light_id[perm].astype(np.int32)
+    sorted_rev = rev[perm]
 
     e1 = tri_p[:, 1] - tri_p[:, 0]
     e2 = tri_p[:, 2] - tri_p[:, 0]
@@ -149,10 +148,11 @@ def build_triangle_scene(
         node_lo=jnp.asarray(bvh.node_lo),
         node_hi=jnp.asarray(bvh.node_hi),
         leaf_first=jnp.asarray(bvh.leaf_first),
+        leaf_count=jnp.asarray(bvh.leaf_count),
         skip=jnp.asarray(bvh.skip),
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
-        leaf_size=leaf_size,
+        leaf_size=bvh.leaf_size,
         has_normals=any_n,
         has_uv=any_uv,
     )
@@ -270,13 +270,15 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         first = tris.leaf_first[nd]
         is_leaf = first >= 0
         test_leaf = hit_box & is_leaf
+        count = tris.leaf_count[nd]
         for k in range(tris.leaf_size):
-            tri = jnp.where(test_leaf, first + k, 0)
+            in_leaf = test_leaf & (k < count)
+            tri = jnp.where(in_leaf, first + k, 0)
             idx, p0, p1, p2 = _gather_tri(tris, tri)
             h, t, bb0, bb1, bb2 = intersect_triangle(
                 ray_o, ray_d, t_best, p0, p1, p2
             )
-            h = h & test_leaf & (tris.material_id[tri] != -2)
+            h = h & in_leaf
             closer = h & (t < t_best)
             t_best = jnp.where(closer, t, t_best)
             tri_best = jnp.where(closer, tri, tri_best)
@@ -305,11 +307,24 @@ def triangle_scene_intersect(
 ) -> SurfaceInteraction:
     """Closest-hit + interaction construction
     (triangle.rs:305-504 interaction_from_intersection)."""
-    t, tri, b1, b2 = _traverse(tris, ray_o, ray_d, t_max, any_hit=False)
+    # Traversal runs on detached rays (lax.while_loop is not reverse-mode
+    # differentiable, and hit *topology* is discrete anyway); the hit is
+    # then recomputed differentiably for the chosen triangle — the standard
+    # detached-traversal construction for differentiable rendering.
+    t_det, tri, _, _ = _traverse(
+        tris,
+        jax.lax.stop_gradient(ray_o),
+        jax.lax.stop_gradient(ray_d),
+        jax.lax.stop_gradient(t_max),
+        any_hit=False,
+    )
     valid = tri >= 0
     tri_c = jnp.maximum(tri, 0)
     idx, p0, p1, p2 = _gather_tri(tris, tri_c)
-    b0 = 1.0 - b1 - b2
+    _, t, b0, b1, b2 = intersect_triangle(
+        ray_o, ray_d, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
+    )
+    t = jnp.where(valid, t, jnp.inf)
     p_hit = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
 
     dp02 = p0 - p2
@@ -397,8 +412,15 @@ def triangle_scene_intersect(
 
 
 def triangle_scene_occluded(tris: TriangleSceneData, ray_o, ray_d, t_max):
-    """Any-hit shadow query (aggregate.rs:141-203 intersect_predicate)."""
-    t, tri, _, _ = _traverse(tris, ray_o, ray_d, t_max, any_hit=True)
+    """Any-hit shadow query (aggregate.rs:141-203 intersect_predicate).
+    Visibility is discrete — evaluated on detached rays."""
+    t, tri, _, _ = _traverse(
+        tris,
+        jax.lax.stop_gradient(ray_o),
+        jax.lax.stop_gradient(ray_d),
+        jax.lax.stop_gradient(t_max),
+        any_hit=True,
+    )
     return tri >= 0
 
 
