@@ -129,6 +129,10 @@ class PerspectiveCamera(_ProjectiveCamera):
             **kw,
         )
         self.fov = float(fov)
+        # Angular size of one pixel (for approximate texture footprints).
+        self.pixel_spread = float(
+            2.0 * np.tan(np.deg2rad(fov) / 2.0) / resolution[1]
+        )
         zero = self.camera_from_raster.apply_point(jnp.zeros(3))
         self.dx_camera = (
             self.camera_from_raster.apply_point(vec(1.0, 0.0, 0.0)) - zero

@@ -185,6 +185,7 @@ def li_path(
     max_depth: int = 5,
     regularize: bool = False,
     return_stats: bool = False,
+    pixel_spread: float = 0.0,
 ):
     """Production path integrator: NEE + MIS power heuristic + Russian
     roulette (PathIntegrator::li, integrator.rs:730-963).
@@ -220,6 +221,7 @@ def li_path(
         if depth == max_depth:
             break
 
+        si = _prepare_hit(scene, si, ray_d, pixel_spread)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
         # Regularization after the first non-specular bounce
@@ -309,6 +311,7 @@ def li_simple_path(
     max_depth: int = 5,
     sample_lights: bool = True,
     sample_bsdf: bool = True,
+    pixel_spread: float = 0.0,
 ):
     """Validation integrator: NEE without MIS, optional uniform-hemisphere
     fallback (SimplePathIntegrator::li, integrator.rs:573-728)."""
@@ -344,6 +347,7 @@ def li_simple_path(
         alive = alive & si.valid
         if depth == max_depth:
             break
+        si = _prepare_hit(scene, si, ray_d, pixel_spread)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
 
@@ -436,7 +440,7 @@ def li_simple_path(
     return l
 
 
-def li_random_walk(scene: Scene, ray: Ray, swl, sampler, s_state, max_depth: int = 5):
+def li_random_walk(scene: Scene, ray: Ray, swl, sampler, s_state, max_depth: int = 5, pixel_spread: float = 0.0):
     """Ground-truth sanity integrator: uniform-sphere random walk
     (RandomWalkIntegrator, integrator.rs:461-563)."""
     n = ray.o.shape[:-1]
@@ -463,6 +467,7 @@ def li_random_walk(scene: Scene, ray: Ray, swl, sampler, s_state, max_depth: int
         alive = alive & si.valid
         if depth == max_depth:
             break
+        si = _prepare_hit(scene, si, ray_d, pixel_spread)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
         u2, s_state = sampler.get_2d(s_state)
@@ -497,10 +502,22 @@ def _env_eval(scene):
     return lambda i, d, swl: env_le(scene.env, d, swl)
 
 
+def _prepare_hit(scene, si, ray_d, pixel_spread):
+    """Per-hit preparation: texture footprints + normal/bump mapping
+    (the get_bsdf preamble, interaction.rs:187-250)."""
+    if pixel_spread > 0.0:
+        si = si.with_camera_differentials(ray_d, pixel_spread)
+    if scene.textures is not None:
+        from shimmer_tpu.textures.normal_bump import apply_normal_bump
+
+        si = apply_normal_bump(scene, si)
+    return si
+
+
 def _bsdf_ctx(scene, si, swl):
     """Per-hit BSDF evaluation context: textures resolved per lane."""
     ctx = {"spectra_table": scene.spectra_table, "tex": None}
-    tex_table = getattr(scene, "textures", None)
+    tex_table = scene.textures
     if tex_table is not None:
         from shimmer_tpu.textures.textures import evaluate_material_textures
 

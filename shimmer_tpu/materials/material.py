@@ -54,6 +54,13 @@ class MaterialTable:
     mix_amount: jnp.ndarray       # (M,)
     mix_m1: jnp.ndarray           # (M,) int32
     mix_m2: jnp.ndarray           # (M,) int32
+    # texture-driven parameters (-1 = use the constant column)
+    tex_reflectance: jnp.ndarray  # (M,) int32
+    tex_uroughness: jnp.ndarray   # (M,) int32
+    tex_vroughness: jnp.ndarray   # (M,) int32
+    # normal / bump maps
+    normal_tex: jnp.ndarray       # (M,) int32 — tangent-space normal map
+    displacement_tex: jnp.ndarray  # (M,) int32 — bump displacement
 
 
 def make_material_table(mats: list[dict]) -> MaterialTable:
@@ -75,6 +82,11 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         mix_amount=jnp.asarray(g("mix_amount", 0.5)),
         mix_m1=jnp.asarray(gi("mix_m1", 0)),
         mix_m2=jnp.asarray(gi("mix_m2", 0)),
+        tex_reflectance=jnp.asarray(gi("tex_reflectance", -1)),
+        tex_uroughness=jnp.asarray(gi("tex_uroughness", -1)),
+        tex_vroughness=jnp.asarray(gi("tex_vroughness", -1)),
+        normal_tex=jnp.asarray(gi("normal_tex", -1)),
+        displacement_tex=jnp.asarray(gi("displacement_tex", -1)),
     )
 
 

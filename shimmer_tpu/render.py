@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from shimmer_tpu.film.filters import get_camera_sample
 from shimmer_tpu.film.film import FilmState, RgbFilm
@@ -109,6 +110,12 @@ def make_wave_renderer(
     opts = dict(integrator_options or {})
     if integrator == "path" and regularize:
         opts["regularize"] = True
+    spread = getattr(camera, "pixel_spread", 0.0)
+    if spread and "pixel_spread" not in opts:
+        # spp-scaled differential shrink (integrator.rs:356-362)
+        opts["pixel_spread"] = spread * max(
+            0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
+        )
 
     def render_samples(
         film_state: FilmState, sample_indices, pixel_xy, pixel_valid

@@ -31,6 +31,7 @@ class Scene:
     light_sample_weights: jnp.ndarray  # (L,) pmf weights (uniform or power)
     spectra_table: jnp.ndarray | None  # (K, 471) shared dense spectra (IORs…)
     env: object | None            # EnvLightData (lights/env.py)
+    textures: object | None       # TextureTable (textures/textures.py)
     # --- static census ---
     material_kinds: tuple = static_field(default=())
     light_kinds: tuple = static_field(default=())
@@ -39,6 +40,8 @@ class Scene:
     image_infinite_indices: tuple = static_field(default=())
     has_spheres: bool = static_field(default=False)
     has_triangles: bool = static_field(default=False)
+    has_normal_maps: bool = static_field(default=False)
+    has_bump_maps: bool = static_field(default=False)
 
 
 def scene_intersect(scene: Scene, ray_o, ray_d, t_max):

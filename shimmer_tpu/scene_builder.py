@@ -33,6 +33,8 @@ def build_scene(
     colorspace: RgbColorSpace | None = None,
     light_sampler: str = "uniform",
     textures=None,
+    spectra_table=None,
+    env=None,
     render_from_world=None,
 ) -> Scene:
     """Assemble a device Scene.
@@ -171,8 +173,11 @@ def build_scene(
         materials=mat_table,
         lights=light_data,
         light_sample_weights=jnp.asarray(weights[:n_l] if n_l else np.ones(0, np.float32)),
-        spectra_table=None,
-        env=None,
+        spectra_table=(
+            jnp.asarray(spectra_table) if spectra_table is not None else None
+        ),
+        env=env,
+        textures=textures,
         material_kinds=material_kinds,
         light_kinds=light_kinds,
         n_lights=n_l,
@@ -184,4 +189,10 @@ def build_scene(
         ),
         has_spheres=sphere_data is not None,
         has_triangles=triangles is not None,
+        has_normal_maps=any(
+            m.get("normal_tex", -1) >= 0 for m in mat_dicts
+        ),
+        has_bump_maps=any(
+            m.get("displacement_tex", -1) >= 0 for m in mat_dicts
+        ),
     )

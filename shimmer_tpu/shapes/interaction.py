@@ -72,6 +72,42 @@ class SurfaceInteraction:
             dvdy=z,
         )
 
+    def with_camera_differentials(self, ray_d, spread):
+        """Approximate screen-space uv derivatives from an angular pixel
+        footprint (the reference's camera fallback, interaction.rs:280-366 +
+        camera.rs approximate_dp_dxy): dpdx ≈ t·spread along two axes
+        perpendicular to the ray, then least-squares projection onto
+        (dpdu, dpdv)."""
+        from shimmer_tpu.ops.vecmath import coordinate_system, normalize
+
+        d = normalize(ray_d)
+        ex, ey = coordinate_system(d)
+        r = (self.t * spread)[..., None]
+        r = jnp.where(jnp.isfinite(r), r, 0.0)
+        dpdx = ex * r
+        dpdy = ey * r
+        ata00 = dot(self.dpdu, self.dpdu)
+        ata01 = dot(self.dpdu, self.dpdv)
+        ata11 = dot(self.dpdv, self.dpdv)
+        det = ata00 * ata11 - ata01 * ata01
+        inv = jnp.where(jnp.abs(det) > 1e-18, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+
+        def solve(dp):
+            b0 = dot(self.dpdu, dp)
+            b1 = dot(self.dpdv, dp)
+            du = (ata11 * b0 - ata01 * b1) * inv
+            dv = (ata00 * b1 - ata01 * b0) * inv
+            ok = jnp.isfinite(du) & jnp.isfinite(dv)
+            return jnp.where(ok, du, 0.0), jnp.where(ok, dv, 0.0)
+
+        dudx, dvdx = solve(dpdx)
+        dudy, dvdy = solve(dpdy)
+        import dataclasses
+
+        return dataclasses.replace(
+            self, dudx=dudx, dvdx=dvdx, dudy=dudy, dvdy=dvdy
+        )
+
     def shading_frame(self):
         from shimmer_tpu.ops.vecmath import Frame, gram_schmidt
 
