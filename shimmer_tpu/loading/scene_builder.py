@@ -1,0 +1,863 @@
+"""SceneBuilder: pbrt directive handling + device-scene creation.
+
+TPU-native analog of /root/reference/src/loading/scene.rs —
+BasicSceneBuilder (graphics-state stack, named coordinate systems,
+attribute/object stacks, instancing, defaults: sampler=independent(zsobol
+here per BASELINE #2), film=rgb, integrator=path, filter=box, accel=bvh,
+camera=perspective, material=diffuse — scene.rs:1221-1303) and BasicScene's
+deferred creation passes (textures → lights → materials → aggregate →
+integrator, scene.rs:381-907).
+
+Instancing is flattened into the global BVH (TransformedPrimitive →
+pre-transformed copies), and every mesh area light becomes one light table
+row per triangle, exactly like the reference binds area lights per shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from shimmer_tpu.loading.paramdict import ParameterDictionary, SpectrumType
+from shimmer_tpu.ops.transform import Transform
+from shimmer_tpu.spectra.spectrum import named_spectrum
+
+
+def _np_transform(m: np.ndarray) -> Transform:
+    import jax.numpy as jnp
+
+    return Transform(m=jnp.asarray(m, jnp.float32), m_inv=jnp.asarray(np.linalg.inv(m), jnp.float32))
+
+
+class _Mat4:
+    """Host-side 4x4 CTM (numpy; cheap during parsing)."""
+
+    @staticmethod
+    def identity():
+        return np.eye(4, dtype=np.float64)
+
+    @staticmethod
+    def translate(d):
+        m = np.eye(4)
+        m[:3, 3] = d
+        return m
+
+    @staticmethod
+    def scale(s):
+        return np.diag([s[0], s[1], s[2], 1.0])
+
+    @staticmethod
+    def rotate(angle_deg, axis):
+        a = np.asarray(axis, np.float64)
+        a = a / max(np.linalg.norm(a), 1e-12)
+        rad = np.deg2rad(angle_deg)
+        s, c = np.sin(rad), np.cos(rad)
+        x, y, z = a
+        r = np.array(
+            [
+                [x * x + (1 - x * x) * c, x * y * (1 - c) - z * s, x * z * (1 - c) + y * s],
+                [x * y * (1 - c) + z * s, y * y + (1 - y * y) * c, y * z * (1 - c) - x * s],
+                [x * z * (1 - c) - y * s, y * z * (1 - c) + x * s, z * z + (1 - z * z) * c],
+            ]
+        )
+        m = np.eye(4)
+        m[:3, :3] = r
+        return m
+
+    @staticmethod
+    def look_at(eye, look, up):
+        eye = np.asarray(eye, np.float64)
+        look = np.asarray(look, np.float64)
+        up = np.asarray(up, np.float64)
+        d = look - eye
+        d = d / np.linalg.norm(d)
+        right = np.cross(up / np.linalg.norm(up), d)
+        right /= max(np.linalg.norm(right), 1e-12)
+        new_up = np.cross(d, right)
+        m = np.eye(4)
+        m[:3, 0] = right
+        m[:3, 1] = new_up
+        m[:3, 2] = d
+        m[:3, 3] = eye
+        # pbrt LookAt: this is camera-to-world; the CTM is world-to-camera.
+        return np.linalg.inv(m)
+
+
+@dataclasses.dataclass
+class _GraphicsState:
+    """scene.rs:1100-1124."""
+
+    ctm: np.ndarray
+    reverse_orientation: bool = False
+    material: int | str = -1  # index into materials, or named
+    area_light: tuple | None = None  # (name, params)
+    colorspace_name: str = "srgb"
+
+
+@dataclasses.dataclass
+class RenderJob:
+    scene: object
+    camera: object
+    film: object
+    sampler: object
+    integrator: str
+    max_depth: int
+    spp: int
+    filename: str
+    light_sampler: str = "uniform"
+
+
+class SceneBuilder:
+    """ParserTarget implementation (parser_target.rs:50-184)."""
+
+    def __init__(self, search_dir=None):
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.textures.textures import TextureBuilder
+
+        self.search_dir = search_dir
+        self.gs = _GraphicsState(ctm=_Mat4.identity())
+        self.state_stack: list[_GraphicsState] = []
+        self.named_coords: dict[str, np.ndarray] = {}
+        self.world_phase = False
+        # deferred entities (SceneEntity records, scene.rs:916-1048)
+        self.camera_spec = ("perspective", ParameterDictionary([]), _Mat4.identity())
+        self.film_spec = ("rgb", ParameterDictionary([]))
+        self.sampler_spec = ("zsobol", ParameterDictionary([]))
+        self.filter_spec = ("box", ParameterDictionary([]))
+        self.integrator_spec = ("path", ParameterDictionary([]))
+        self.accelerator_spec = ("bvh", ParameterDictionary([]))
+        self.colorspace = get_named_color_space("srgb")
+        self.shapes: list[dict] = []   # deferred shape records
+        self.lights: list[dict] = []   # non-area light records
+        self.materials: list[dict] = [
+            {"kind_name": "diffuse", "pd": ParameterDictionary([])}
+        ]
+        self.named_materials: dict[str, int] = {}
+        self.float_textures: dict[str, int] = {}
+        self.spectrum_textures: dict[str, int] = {}
+        self.tex_builder = TextureBuilder()
+        self.objects: dict[str, list[dict]] = {}
+        self.current_object: str | None = None
+        self.env_spec = None
+
+    # --- transforms ---
+
+    def look_at(self, eye, look, up, loc):
+        self.gs.ctm = self.gs.ctm @ _Mat4.look_at(eye, look, up)
+
+    def translate(self, d, loc):
+        self.gs.ctm = self.gs.ctm @ _Mat4.translate(d)
+
+    def scale(self, s, loc):
+        self.gs.ctm = self.gs.ctm @ _Mat4.scale(s)
+
+    def rotate(self, angle, axis, loc):
+        self.gs.ctm = self.gs.ctm @ _Mat4.rotate(angle, axis)
+
+    def transform(self, m16, loc):
+        # pbrt matrices are column-major
+        self.gs.ctm = np.asarray(m16, np.float64).reshape(4, 4).T
+
+    def concat_transform(self, m16, loc):
+        self.gs.ctm = self.gs.ctm @ np.asarray(m16, np.float64).reshape(4, 4).T
+
+    def identity(self, loc):
+        self.gs.ctm = _Mat4.identity()
+
+    def coordinate_system(self, name, loc):
+        self.named_coords[name] = self.gs.ctm.copy()
+
+    def coord_sys_transform(self, name, loc):
+        if name in self.named_coords:
+            self.gs.ctm = self.named_coords[name].copy()
+
+    # --- pre-world config ---
+
+    def _pd(self, params):
+        return ParameterDictionary(params, self.colorspace)
+
+    def color_space(self, name, loc):
+        from shimmer_tpu.color.colorspace import get_named_color_space
+
+        self.colorspace = get_named_color_space(name)
+
+    def option(self, params, loc):
+        pass  # global options (render coordinate system etc.) — defaults
+
+    def camera(self, name, params, loc):
+        self.camera_spec = (name, self._pd(params), self.gs.ctm.copy())
+        self.named_coords["camera"] = self.gs.ctm.copy()
+
+    def film(self, name, params, loc):
+        self.film_spec = (name, self._pd(params))
+
+    def sampler(self, name, params, loc):
+        self.sampler_spec = (name, self._pd(params))
+
+    def pixel_filter(self, name, params, loc):
+        self.filter_spec = (name, self._pd(params))
+
+    def integrator(self, name, params, loc):
+        self.integrator_spec = (name, self._pd(params))
+
+    def accelerator(self, name, params, loc):
+        self.accelerator_spec = (name, self._pd(params))
+
+    def world_begin(self, loc):
+        self.world_phase = True
+        self.gs.ctm = _Mat4.identity()
+        self.named_coords["world"] = self.gs.ctm.copy()
+
+    # --- attribute / object stacks ---
+
+    def attribute_begin(self, loc, transform_only=False):
+        self.state_stack.append(dataclasses.replace(self.gs, ctm=self.gs.ctm.copy()))
+
+    def attribute_end(self, loc, transform_only=False):
+        self.gs = self.state_stack.pop()
+
+    def attribute(self, target, params, loc):
+        # "Attribute shape/material/... <params>" — scoped params; applied
+        # as if inline (simplified).
+        pass
+
+    def object_begin(self, name, loc):
+        self.attribute_begin(loc)
+        self.current_object = name
+        self.objects[name] = []
+
+    def object_end(self, loc):
+        self.current_object = None
+        self.attribute_end(loc)
+
+    def object_instance(self, name, loc):
+        if name not in self.objects:
+            raise ValueError(f"{loc}: unknown object {name!r}")
+        # Flatten: emit the recorded shapes with instance CTM ∘ recorded CTM.
+        for rec in self.objects[name]:
+            rec = dict(rec)
+            rec["ctm"] = self.gs.ctm @ rec["ctm_relative"]
+            self.shapes.append(rec)
+
+    def reverse_orientation(self, loc):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    # --- materials / textures ---
+
+    def material(self, name, params, loc):
+        self.materials.append({"kind_name": name, "pd": self._pd(params)})
+        self.gs.material = len(self.materials) - 1
+
+    def make_named_material(self, name, params, loc):
+        pd = self._pd(params)
+        kind = pd.get_one_string("type", "diffuse")
+        self.materials.append({"kind_name": kind, "pd": pd})
+        self.named_materials[name] = len(self.materials) - 1
+
+    def named_material(self, name, loc):
+        if name not in self.named_materials:
+            raise ValueError(f"{loc}: unknown named material {name!r}")
+        self.gs.material = self.named_materials[name]
+
+    def texture(self, name, type_, class_, params, loc):
+        from shimmer_tpu.textures import textures as tx
+
+        pd = self._pd(params)
+        is_spectrum = type_ == "spectrum"
+        if class_ == "constant":
+            if is_spectrum:
+                spec = pd.get_one_spectrum(
+                    "value", None, SpectrumType.ALBEDO
+                )
+                coeffs = getattr(spec, "coeffs", None)
+                if coeffs is None:
+                    from shimmer_tpu.spectra.rgb2spec import fit_rgb_coeffs
+
+                    coeffs = fit_rgb_coeffs(
+                        np.array([[0.5, 0.5, 0.5]]), self.colorspace
+                    )[0]
+                tid = self.tex_builder.add_constant_spectrum_coeffs(
+                    coeffs, getattr(spec, "scale", 1.0)
+                )
+            else:
+                tid = self.tex_builder.add_constant_float(
+                    pd.get_one_float("value", 1.0)
+                )
+        elif class_ in ("imagemap", "image"):
+            from shimmer_tpu.film.image import Image
+
+            fname = pd.get_one_string("filename", "")
+            path = Path(fname)
+            if not path.is_absolute() and self.search_dir:
+                path = Path(self.search_dir) / path
+            img = Image.read(path)
+            data = img.data[..., :3] if is_spectrum else img.data[..., 0]
+            filt = {
+                "point": tx.FILTER_POINT,
+                "bilinear": tx.FILTER_BILINEAR,
+                "trilinear": tx.FILTER_TRILINEAR,
+                "ewa": tx.FILTER_EWA,
+            }.get(pd.get_one_string("filter", "trilinear"), tx.FILTER_TRILINEAR)
+            wrap = {
+                "repeat": tx.WRAP_REPEAT,
+                "clamp": tx.WRAP_CLAMP,
+                "black": tx.WRAP_BLACK,
+            }.get(pd.get_one_string("wrap", "repeat"), tx.WRAP_REPEAT)
+            tid = self.tex_builder.add_image(
+                data,
+                is_spectrum=is_spectrum,
+                colorspace=self.colorspace,
+                wrap=wrap,
+                filter_kind=filt,
+                scale=pd.get_one_float("scale", 1.0),
+                invert=pd.get_one_bool("invert", False),
+                uv_scale=(pd.get_one_float("uscale", 1.0), pd.get_one_float("vscale", 1.0)),
+                uv_delta=(pd.get_one_float("udelta", 0.0), pd.get_one_float("vdelta", 0.0)),
+            )
+        elif class_ == "scale":
+            base = self._resolve_texture_param(pd, "tex", is_spectrum, default=1.0)
+            sc = self._resolve_texture_param(pd, "scale", False, default=1.0)
+            tid = self.tex_builder.add_scaled(base, sc)
+        elif class_ == "mix":
+            t1 = self._resolve_texture_param(pd, "tex1", is_spectrum, default=0.0)
+            t2 = self._resolve_texture_param(pd, "tex2", is_spectrum, default=1.0)
+            tid = self.tex_builder.add_mix(
+                t1, t2, pd.get_one_float("amount", 0.5)
+            )
+        else:
+            raise ValueError(f"{loc}: unknown texture class {class_!r}")
+        (self.spectrum_textures if is_spectrum else self.float_textures)[name] = tid
+
+    def _resolve_texture_param(self, pd, name, is_spectrum, default):
+        tn = pd.get_texture_name(name)
+        if tn is not None:
+            pool = self.spectrum_textures if is_spectrum else self.float_textures
+            if tn in pool:
+                return pool[tn]
+        if is_spectrum:
+            spec = pd.get_one_spectrum(name, None, SpectrumType.ALBEDO)
+            from shimmer_tpu.spectra.rgb2spec import fit_rgb_coeffs
+
+            coeffs = getattr(spec, "coeffs", None)
+            if coeffs is None:
+                coeffs = fit_rgb_coeffs(np.array([[default] * 3]), self.colorspace)[0]
+            return self.tex_builder.add_constant_spectrum_coeffs(coeffs)
+        return self.tex_builder.add_constant_float(pd.get_one_float(name, default))
+
+    # --- lights ---
+
+    def light_source(self, name, params, loc):
+        self.lights.append(
+            {
+                "kind_name": name,
+                "pd": self._pd(params),
+                "ctm": self.gs.ctm.copy(),
+            }
+        )
+
+    def area_light_source(self, name, params, loc):
+        self.gs.area_light = (name, self._pd(params))
+
+    # --- media (stub parity: reference Medium is empty, media.rs:3-5) ---
+
+    def make_named_medium(self, name, params, loc):
+        pass
+
+    def medium_interface(self, inside, outside, loc):
+        pass
+
+    # --- shapes ---
+
+    def shape(self, name, params, loc):
+        rec = {
+            "kind": name,
+            "pd": self._pd(params),
+            "ctm": self.gs.ctm.copy(),
+            "ctm_relative": (
+                np.linalg.inv(self.state_stack[-1].ctm) @ self.gs.ctm
+                if self.current_object is not None
+                else self.gs.ctm.copy()
+            ),
+            "material": self.gs.material,
+            "area_light": self.gs.area_light,
+            "reverse_orientation": self.gs.reverse_orientation,
+            "loc": str(loc),
+        }
+        if self.current_object is not None:
+            self.objects[self.current_object].append(rec)
+        else:
+            self.shapes.append(rec)
+
+    def end_of_files(self):
+        pass
+
+    # --- creation passes (scene.rs:381-907) ---
+
+    def create(self) -> RenderJob:
+        import jax.numpy as jnp
+
+        from shimmer_tpu.cameras import (
+            CameraTransform,
+            OrthographicCamera,
+            PerspectiveCamera,
+            SphericalCamera,
+        )
+        from shimmer_tpu.film.filters import Filter
+        from shimmer_tpu.film.film import PixelSensor, RgbFilm
+        from shimmer_tpu.lights import lights as lt
+        from shimmer_tpu.materials import material as mtl
+        from shimmer_tpu.samplers import create_sampler
+        from shimmer_tpu.scene_builder import build_scene
+        from shimmer_tpu.shapes.mesh import TriangleMesh, read_ply
+        from shimmer_tpu.shapes.triangle import build_triangle_scene
+
+        # -- film / filter / sensor --
+        fname, fpd = self.film_spec
+        xres = fpd.get_one_int("xresolution", 1280)
+        yres = fpd.get_one_int("yresolution", 720)
+        filt_name, filt_pd = self.filter_spec
+        filt_params = {}
+        for k in ("xradius", "yradius", "sigma", "B", "C", "tau"):
+            v = filt_pd.get_one_float(k, None)
+            if v is not None:
+                filt_params[k] = v
+        filt = Filter.create(filt_name, **{k: v for k, v in filt_params.items() if v is not None})
+        sensor = PixelSensor.create(
+            self.colorspace,
+            exposure_time=1.0,
+            iso=fpd.get_one_float("iso", 100.0),
+            white_balance_temp=fpd.get_one_float("whitebalance", 0.0),
+            sensor_name=fpd.get_one_string("sensor", "cie1931"),
+        )
+        film = RgbFilm(
+            (xres, yres),
+            filt,
+            sensor,
+            self.colorspace,
+            max_component_value=fpd.get_one_float("maxcomponentvalue", float("inf")),
+            filename=fpd.get_one_string("filename", "shimmer.pfm"),
+        )
+
+        # -- camera --
+        cname, cpd, cam_ctm = self.camera_spec
+        world_from_camera = np.linalg.inv(cam_ctm)
+        ct = CameraTransform(_np_transform(world_from_camera))
+        common = dict(
+            camera_transform=ct,
+            resolution=(xres, yres),
+            shutter_open=cpd.get_one_float("shutteropen", 0.0),
+            shutter_close=cpd.get_one_float("shutterclose", 1.0),
+        )
+        sw = cpd.get_float_array("screenwindow")
+        screen_window = None
+        if len(sw) == 4:
+            screen_window = ((sw[0], sw[2]), (sw[1], sw[3]))
+        if cname == "perspective":
+            camera = PerspectiveCamera(
+                fov=cpd.get_one_float("fov", 90.0),
+                screen_window=screen_window,
+                lens_radius=cpd.get_one_float("lensradius", 0.0),
+                focal_distance=cpd.get_one_float("focaldistance", 1e6),
+                **common,
+            )
+        elif cname == "orthographic":
+            camera = OrthographicCamera(
+                screen_window=screen_window,
+                lens_radius=cpd.get_one_float("lensradius", 0.0),
+                focal_distance=cpd.get_one_float("focaldistance", 1e6),
+                **common,
+            )
+        elif cname == "spherical":
+            camera = SphericalCamera(
+                mapping=cpd.get_one_string("mapping", "equalarea"), **common
+            )
+        else:
+            raise ValueError(f"unknown camera {cname!r}")
+        r2w = camera.camera_transform.render_from_world()
+        r2w_np = np.asarray(r2w.m, np.float64)
+
+        # -- materials --
+        spectra_rows: list[np.ndarray] = []
+
+        def add_spectrum_row(spec) -> int:
+            spectra_rows.append(spec.to_dense())
+            return len(spectra_rows) - 1
+
+        mat_dicts = []
+        for m in self.materials:
+            mat_dicts.append(
+                self._convert_material(m["kind_name"], m["pd"], add_spectrum_row)
+            )
+
+        # -- shapes + area lights --
+        sphere_dicts = []
+        mesh_dicts = []
+        light_dicts = []
+        tri_count = 0
+        for rec in self.shapes:
+            pd = rec["pd"]
+            ctm = rec["ctm"]
+            o2r = r2w_np @ ctm
+            mat_idx = rec["material"] if isinstance(rec["material"], int) else -1
+            if mat_idx < 0:
+                mat_idx = 0
+            area_light_id = -1
+            if rec["area_light"] is not None:
+                al_name, al_pd = rec["area_light"]
+                area_light_id = len(light_dicts)  # first id; meshes extend
+            if rec["kind"] == "sphere":
+                sphere_dicts.append(
+                    {
+                        "radius": pd.get_one_float("radius", 1.0),
+                        "z_min": pd.get_one_float("zmin", -pd.get_one_float("radius", 1.0)),
+                        "z_max": pd.get_one_float("zmax", pd.get_one_float("radius", 1.0)),
+                        "phi_max": pd.get_one_float("phimax", 360.0),
+                        "object_to_render": _np_transform(o2r),
+                        "reverse_orientation": rec["reverse_orientation"],
+                        "material_id": mat_idx,
+                        "area_light_id": area_light_id,
+                    }
+                )
+                if rec["area_light"] is not None:
+                    light_dicts.append(
+                        self._area_light_dict(
+                            rec["area_light"], 0, len(sphere_dicts) - 1
+                        )
+                    )
+            elif rec["kind"] in ("trianglemesh", "plymesh", "bilinearmesh"):
+                if rec["kind"] == "plymesh":
+                    fname2 = pd.get_one_string("filename", "")
+                    path = Path(fname2)
+                    if not path.is_absolute() and self.search_dir:
+                        path = Path(self.search_dir) / path
+                    data = read_ply(path)
+                    p, idx, nrm, uv = data["p"], data["indices"], data["n"], data["uv"]
+                else:
+                    p = pd.get_point3_array("P")
+                    idx = pd.get_int_array("indices").reshape(-1, 3)
+                    nrm = pd.get_point3_array("N")
+                    uv = pd.get_point2_array("uv")
+                    if uv is None:
+                        uv = pd.get_point2_array("st")
+                    if rec["kind"] == "bilinearmesh":
+                        # quads → triangle pairs (true patches later)
+                        q = pd.get_int_array("indices").reshape(-1, 4)
+                        idx = np.concatenate([q[:, [0, 1, 3]], q[:, [1, 2, 3]]])
+                mesh = TriangleMesh(
+                    _np_transform(o2r),
+                    idx,
+                    p,
+                    n=nrm,
+                    uv=uv,
+                    reverse_orientation=rec["reverse_orientation"],
+                )
+                n_tris = mesh.n_triangles
+                if rec["area_light"] is not None:
+                    # one light per triangle (scene.rs:532-636 semantics)
+                    ali = np.arange(
+                        len(light_dicts), len(light_dicts) + n_tris, dtype=np.int32
+                    )
+                    for k in range(n_tris):
+                        light_dicts.append(
+                            self._area_light_dict(
+                                rec["area_light"], 1, tri_count + k
+                            )
+                        )
+                    mesh_dicts.append(mesh.as_scene_dict(mat_idx, ali))
+                else:
+                    mesh_dicts.append(mesh.as_scene_dict(mat_idx, -1))
+                tri_count += n_tris
+            else:
+                import warnings
+
+                warnings.warn(f"unsupported shape {rec['kind']!r} skipped")
+
+        # -- non-area lights --
+        env = None
+        for ld in self.lights:
+            pd = ld["pd"]
+            ctm = ld["ctm"]
+            kindn = ld["kind_name"]
+            l2w = ctm  # light-to-world
+            if kindn == "point":
+                frm = pd.get_one_point3("from", (0, 0, 0))
+                pos = (l2w @ np.append(frm, 1.0))[:3]
+                spec = pd.get_one_spectrum(
+                    "I", self.colorspace.illuminant, SpectrumType.ILLUMINANT
+                )
+                light_dicts.append(
+                    {
+                        "kind": lt.POINT,
+                        "spectrum": spec,
+                        "scale": pd.get_one_float("scale", 1.0),
+                        "photometric": True,
+                        "position": pos,
+                    }
+                )
+            elif kindn == "distant":
+                frm = pd.get_one_point3("from", (0, 0, 0))
+                to = pd.get_one_point3("to", (0, 0, 1))
+                d = (l2w @ np.append(to - frm, 0.0))[:3]
+                spec = pd.get_one_spectrum(
+                    "L", self.colorspace.illuminant, SpectrumType.ILLUMINANT
+                )
+                light_dicts.append(
+                    {
+                        "kind": lt.DISTANT,
+                        "spectrum": spec,
+                        "scale": pd.get_one_float("scale", 1.0),
+                        "photometric": True,
+                        "direction": d,
+                    }
+                )
+            elif kindn == "spot":
+                frm = pd.get_one_point3("from", (0, 0, 0))
+                to = pd.get_one_point3("to", (0, 0, 1))
+                pos = (l2w @ np.append(frm, 1.0))[:3]
+                d = (l2w @ np.append(to - frm, 0.0))[:3]
+                spec = pd.get_one_spectrum(
+                    "I", self.colorspace.illuminant, SpectrumType.ILLUMINANT
+                )
+                light_dicts.append(
+                    {
+                        "kind": lt.SPOT,
+                        "spectrum": spec,
+                        "scale": pd.get_one_float("scale", 1.0),
+                        "photometric": True,
+                        "position": pos,
+                        "direction": d,
+                        "cone_angle": pd.get_one_float("coneangle", 30.0),
+                        "cone_delta": pd.get_one_float("conedeltaangle", 5.0),
+                    }
+                )
+            elif kindn == "infinite":
+                fname2 = pd.get_one_string("filename", "")
+                if fname2:
+                    from shimmer_tpu.film.image import Image
+                    from shimmer_tpu.lights.env import build_env_light
+
+                    path = Path(fname2)
+                    if not path.is_absolute() and self.search_dir:
+                        path = Path(self.search_dir) / path
+                    img = Image.read(path)
+                    env = build_env_light(
+                        img.data[..., :3],
+                        self.colorspace,
+                        scale=pd.get_one_float("scale", 1.0),
+                        render_from_light=_np_transform(r2w_np @ l2w),
+                        scene_radius=100.0,
+                    )
+                    light_dicts.append(
+                        {
+                            "kind": lt.IMAGE_INFINITE,
+                            "spectrum": self.colorspace.illuminant,
+                            "scale": 1.0,
+                        }
+                    )
+                else:
+                    spec = pd.get_one_spectrum(
+                        "L", self.colorspace.illuminant, SpectrumType.ILLUMINANT
+                    )
+                    light_dicts.append(
+                        {
+                            "kind": lt.UNIFORM_INFINITE,
+                            "spectrum": spec,
+                            "scale": pd.get_one_float("scale", 1.0),
+                            "photometric": True,
+                        }
+                    )
+            else:
+                import warnings
+
+                warnings.warn(f"unsupported light {kindn!r} skipped")
+
+        tris = build_triangle_scene(mesh_dicts) if mesh_dicts else None
+        textures = self.tex_builder.build() if self.tex_builder.rows else None
+        spectra_table = (
+            np.stack(spectra_rows) if spectra_rows else None
+        )
+        ipd = self.integrator_spec[1]
+        light_sampler = ipd.get_one_string("lightsampler", "uniform")
+        if light_sampler == "bvh":
+            light_sampler = "power"
+        scene = build_scene(
+            spheres=sphere_dicts,
+            triangles=tris,
+            materials=mat_dicts,
+            lights=light_dicts,
+            colorspace=self.colorspace,
+            light_sampler=light_sampler,
+            textures=textures,
+            spectra_table=spectra_table,
+            env=env,
+            render_from_world=r2w,
+        )
+
+        sname, spd = self.sampler_spec
+        spp = spd.get_one_int("pixelsamples", 16)
+        sampler = create_sampler(sname, spp, (xres, yres), spd.get_one_int("seed", 0))
+        iname = self.integrator_spec[0]
+        integrator = {
+            "path": "path",
+            "volpath": "path",
+            "simplepath": "simplepath",
+            "randomwalk": "randomwalk",
+        }.get(iname, "path")
+        return RenderJob(
+            scene=scene,
+            camera=camera,
+            film=film,
+            sampler=sampler,
+            integrator=integrator,
+            max_depth=ipd.get_one_int("maxdepth", 5),
+            spp=spp,
+            filename=film.filename,
+            light_sampler=light_sampler,
+        )
+
+    def _area_light_dict(self, area_light, shape_kind, shape_idx):
+        from shimmer_tpu.lights import lights as lt
+
+        al_name, al_pd = area_light
+        spec = al_pd.get_one_spectrum(
+            "L", self.colorspace.illuminant, SpectrumType.ILLUMINANT
+        )
+        return {
+            "kind": lt.AREA,
+            "spectrum": spec,
+            "scale": al_pd.get_one_float("scale", 1.0),
+            "photometric": True,
+            "shape_kind": shape_kind,
+            "shape_idx": shape_idx,
+            "two_sided": al_pd.get_one_bool("twosided", False),
+        }
+
+    def _convert_material(self, kind_name, pd, add_spectrum_row):
+        from shimmer_tpu.materials import material as mtl
+        from shimmer_tpu.spectra.rgb2spec import fit_rgb_coeffs
+
+        out = {}
+        remap = pd.get_one_bool("remaproughness", True)
+
+        def rough(key, default):
+            v = pd.get_one_float(key, None)
+            tn = pd.get_texture_name(key)
+            if tn is not None and tn in self.float_textures:
+                out[f"tex_{key if key != 'roughness' else 'uroughness'}"] = (
+                    self.float_textures[tn]
+                )
+            if v is None:
+                v = default
+            # our eval applies alpha = sqrt(stored); invert when remap off
+            return v if remap else v * v
+
+        r = pd.get_one_float("roughness", 0.0)
+        u_r = pd.get_one_float("uroughness", r)
+        v_r = pd.get_one_float("vroughness", r)
+        if not remap:
+            u_r, v_r = u_r * u_r, v_r * v_r
+        out["uroughness"] = u_r
+        out["vroughness"] = v_r
+
+        # roughness textures
+        for key, col in (
+            ("roughness", ("tex_uroughness", "tex_vroughness")),
+            ("uroughness", ("tex_uroughness",)),
+            ("vroughness", ("tex_vroughness",)),
+        ):
+            tn = pd.get_texture_name(key)
+            if tn is not None and tn in self.float_textures:
+                for c in col:
+                    out[c] = self.float_textures[tn]
+
+        # displacement / normal maps
+        tn = pd.get_texture_name("displacement")
+        if tn is not None and tn in self.float_textures:
+            out["displacement_tex"] = self.float_textures[tn]
+
+        def reflectance(param="reflectance", default=0.5):
+            tn2 = pd.get_texture_name(param)
+            if tn2 is not None and tn2 in self.spectrum_textures:
+                out["tex_reflectance"] = self.spectrum_textures[tn2]
+                out["reflectance_coeffs"] = fit_rgb_coeffs(
+                    np.array([[default] * 3]), self.colorspace
+                )[0]
+                return
+            spec = pd.get_one_spectrum(param, None, SpectrumType.ALBEDO)
+            if spec is not None and hasattr(spec, "coeffs"):
+                out["reflectance_coeffs"] = np.asarray(spec.coeffs)
+            elif spec is not None:
+                # non-rgb spectrum: project to rgb then fit
+                lam = np.arange(360.0, 831.0)
+                from shimmer_tpu.spectra.rgb2spec import _get_projection
+
+                rgb = _get_projection(self.colorspace) @ spec.get(lam)
+                out["reflectance_coeffs"] = fit_rgb_coeffs(
+                    np.clip(rgb, 0, 1)[None], self.colorspace
+                )[0]
+            else:
+                out["reflectance_coeffs"] = fit_rgb_coeffs(
+                    np.array([[default] * 3]), self.colorspace
+                )[0]
+
+        if kind_name in ("diffuse", "coateddiffuse"):
+            # coateddiffuse falls back to diffuse until LayeredBxDF lands
+            out["kind"] = mtl.DIFFUSE
+            reflectance()
+        elif kind_name in ("conductor", "coatedconductor"):
+            out["kind"] = mtl.CONDUCTOR
+            eta = pd.get_one_spectrum("eta", None, SpectrumType.UNBOUNDED)
+            k = pd.get_one_spectrum("k", None, SpectrumType.UNBOUNDED)
+            refl = pd.get_one_spectrum("reflectance", None, SpectrumType.ALBEDO)
+            if refl is not None:
+                reflectance()
+            else:
+                if eta is None:
+                    eta = named_spectrum("metal-Cu-eta")
+                    k = named_spectrum("metal-Cu-k")
+                out["eta_spec"] = add_spectrum_row(eta)
+                out["k_spec"] = add_spectrum_row(k)
+                out["reflectance_coeffs"] = np.zeros(3, np.float32)
+        elif kind_name in ("dielectric", "thindielectric"):
+            out["kind"] = (
+                mtl.DIELECTRIC if kind_name == "dielectric" else mtl.THIN_DIELECTRIC
+            )
+            eta_f = pd.get_one_float("eta", 1.5)
+            eta_spec = pd.get_one_spectrum("eta", None, SpectrumType.UNBOUNDED)
+            if eta_spec is not None and not isinstance(eta_spec, float):
+                from shimmer_tpu.spectra.spectrum import ConstantSpectrum
+
+                if isinstance(eta_spec, ConstantSpectrum):
+                    eta_f = eta_spec.c
+                else:
+                    out["eta_spec"] = add_spectrum_row(eta_spec)
+            out["eta_float"] = eta_f
+            out["reflectance_coeffs"] = np.zeros(3, np.float32)
+        elif kind_name == "mix":
+            out["kind"] = mtl.MIX
+            out["mix_amount"] = pd.get_one_float("amount", 0.5)
+            m_names = [
+                str(v)
+                for v in (self.materials and [])
+            ]
+            out["reflectance_coeffs"] = np.zeros(3, np.float32)
+            names = pd.params.get("materials")
+            if names is not None:
+                names.looked_up = True
+                out["mix_m1"] = self.named_materials.get(names.values[0], 0)
+                out["mix_m2"] = self.named_materials.get(names.values[1], 0)
+        elif kind_name in ("diffusetransmission",):
+            out["kind"] = mtl.DIFFUSE  # TODO dedicated BTDF
+            reflectance()
+        elif kind_name in ("", "none", "interface"):
+            out["kind"] = mtl.DIFFUSE
+            out["reflectance_coeffs"] = np.zeros(3, np.float32)
+        else:
+            import warnings
+
+            warnings.warn(f"unknown material {kind_name!r} → diffuse")
+            out["kind"] = mtl.DIFFUSE
+            reflectance()
+        return out
