@@ -156,15 +156,28 @@ def build_bench_scene(n_tris: int):
 
 def main():
     import jax
+
+    # Persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compile of the wave program.
+    cache_dir = os.environ.get(
+        "BENCH_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from shimmer_tpu.integrators.path import li_path
-    from shimmer_tpu.render import make_wave_renderer, pixel_blocks
+    from shimmer_tpu.render import make_scan_wave_renderer, pixel_blocks
     from shimmer_tpu.samplers import ZSobolSampler
     from shimmer_tpu.film.filters import get_camera_sample
 
     n_tris = int(os.environ.get("BENCH_TRIS", "300000"))
     spp = int(os.environ.get("BENCH_SPP", "8"))
+    wave_spp = int(os.environ.get("BENCH_WAVE_SPP", "4"))
     max_depth = 5
 
     t0 = time.time()
@@ -178,16 +191,17 @@ def main():
         file=sys.stderr,
     )
 
-    block = int(os.environ.get("BENCH_BLOCK", str(1 << 15)))
-    wave_fn = make_wave_renderer(
+    block = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
+    wave_fn = make_scan_wave_renderer(
         scene, cam, film, sampler, "path", max_depth=max_depth
     )
     blocks, valids = pixel_blocks(film, block)
     n_blocks = blocks.shape[0]
 
-    # Ray-count instrumentation: 1 spp with counting enabled (per block).
+    # Ray-count instrumentation: 1 spp on ONE block, scaled by the valid
+    # pixel fraction (blocks are spatially interleaved enough at 2^17).
     @jax.jit
-    def count_rays(sample_index, pixel_xy):
+    def count_rays(sample_index, pixel_xy, pixel_valid):
         s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
         u_lam, s_state = sampler.get_1d(s_state)
         swl = film.sample_wavelengths(u_lam)
@@ -200,44 +214,43 @@ def main():
         )
         return stats["rays"]
 
-    rays_per_sample = sum(
-        float(count_rays(jnp.uint32(0), blocks[b])) for b in range(n_blocks)
-    )
+    frac = float(np.asarray(valids[0]).sum()) / float(np.asarray(valids).sum())
+    rays_per_sample = float(
+        count_rays(jnp.uint32(0), blocks[0], valids[0])
+    ) / max(frac, 1e-9)
     print(
-        f"# rays per 1spp wave: {rays_per_sample/1e6:.2f}M "
+        f"# rays per 1spp wave (est): {rays_per_sample/1e6:.2f}M "
         f"({rays_per_sample/(w*h):.2f} rays/pixel)",
         file=sys.stderr,
     )
 
-    # Warmup (compile) then timed waves.
+    # Warmup (compile) then timed waves.  One device call per wave.
     state = film.init_state()
     t0 = time.time()
-    state = wave_fn(state, jnp.arange(1, dtype=jnp.uint32), blocks[0], valids[0])
+    state = wave_fn(state, jnp.arange(wave_spp, dtype=jnp.uint32), blocks, valids)
     jax.block_until_ready(state)
     compile_s = time.time() - t0
     print(f"# wave compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
+    timed_spp = 0
     t0 = time.time()
-    for b in range(1, n_blocks):
-        state = wave_fn(state, jnp.arange(1, dtype=jnp.uint32), blocks[b], valids[b])
-    done = 1
+    done = wave_spp
     while done < spp:
-        n = min(4, spp - done)
+        n = min(wave_spp, spp - done)
         idx = jnp.arange(done, done + n, dtype=jnp.uint32)
-        for b in range(n_blocks):
-            state = wave_fn(state, idx, blocks[b], valids[b])
+        state = wave_fn(state, idx, blocks, valids)
         done += n
+        timed_spp += n
     jax.block_until_ready(state)
     render_s = time.time() - t0
-    # timed work: (n_blocks-1) blocks of wave 0 + full waves 1..spp-1
-    total_rays = rays_per_sample * ((spp - 1) + (n_blocks - 1) / max(n_blocks, 1))
+    total_rays = rays_per_sample * timed_spp
     mrays = total_rays / render_s / 1e6
 
     img = film.get_image(state)
     mean = float(jnp.mean(img))
     assert np.isfinite(mean) and mean > 0, "bench render produced bad image"
     print(
-        f"# {spp-1} spp in {render_s:.2f}s, image mean {mean:.4f}",
+        f"# {timed_spp} timed spp in {render_s:.2f}s, image mean {mean:.4f}",
         file=sys.stderr,
     )
 

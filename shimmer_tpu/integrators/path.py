@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 from shimmer_tpu.lights import lights as lt
 from shimmer_tpu.materials import bxdf as bx
+from shimmer_tpu.materials import material as mtl
 from shimmer_tpu.materials.material import (
     bsdf_f,
     bsdf_pdf,
     bsdf_sample,
 )
+from shimmer_tpu.ops import rng as srng
 from shimmer_tpu.ops.ray import Ray, offset_ray_origin
 from shimmer_tpu.ops.sampling import (
     UNIFORM_SPHERE_PDF,
@@ -222,8 +224,10 @@ def li_path(
             break
 
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
+        si, s_state = _resolve_mix(scene, si, sampler, s_state)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
+        bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
         # Regularization after the first non-specular bounce
         # (integrator.rs:825-828) is handled inside the microfacet params
         # via bsdf_ctx when enabled.
@@ -348,8 +352,10 @@ def li_simple_path(
         if depth == max_depth:
             break
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
+        si, s_state = _resolve_mix(scene, si, sampler, s_state)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
+        bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
 
         if sample_lights:
             uc, s_state = sampler.get_1d(s_state)
@@ -512,6 +518,38 @@ def _prepare_hit(scene, si, ray_d, pixel_spread):
 
         si = apply_normal_bump(scene, si)
     return si
+
+
+def _resolve_mix(scene, si, sampler, s_state):
+    """Resolve Mix materials stochastically at the hit
+    (material.rs:1309-1330); consumes one sampler dimension only when a
+    Mix material exists in the scene."""
+    if mtl.MIX not in scene.material_kinds:
+        return si, s_state
+    from shimmer_tpu.utils.pytree import replace
+
+    u_mix, s_state = sampler.get_1d(s_state)
+    mat_id = mtl.resolve_mix(
+        scene.materials, scene.material_kinds, si.material_id, u_mix
+    )
+    return replace(si, material_id=mat_id), s_state
+
+
+def _with_rng_key(scene, bsdf_ctx, s_state):
+    """Attach a per-lane counter-RNG key for stochastic BxDFs (layered
+    coats).  Keyed by the full sampler state so every (pixel, sample,
+    bounce) gets an independent stream — unlike the reference's unseeded
+    SmallRng (bxdf.rs:1011)."""
+    if (
+        mtl.COATED_DIFFUSE not in scene.material_kinds
+        and mtl.COATED_CONDUCTOR not in scene.material_kinds
+    ):
+        return bsdf_ctx
+    bsdf_ctx = dict(bsdf_ctx)
+    bsdf_ctx["rng_key"] = srng.hash_combine(
+        s_state.pixel_hash, s_state.sample_index, s_state.dim
+    )
+    return bsdf_ctx
 
 
 def _bsdf_ctx(scene, si, swl):

@@ -802,11 +802,49 @@ class SceneBuilder:
                     np.array([[default] * 3]), self.colorspace
                 )[0]
 
-        if kind_name in ("diffuse", "coateddiffuse"):
-            # coateddiffuse falls back to diffuse until LayeredBxDF lands
+        def layer_params():
+            """Coated-material layer parameters (material.rs CoatedDiffuse /
+            CoatedConductor param lists)."""
+            out["thickness"] = pd.get_one_float("thickness", 0.01)
+            out["g"] = pd.get_one_float("g", 0.0)
+            alb = pd.get_one_spectrum("albedo", None, SpectrumType.ALBEDO)
+            if alb is not None and hasattr(alb, "coeffs"):
+                out["albedo_coeffs"] = np.asarray(alb.coeffs)
+            out["eta_float"] = pd.get_one_float(
+                "interface.eta", pd.get_one_float("eta", 1.5)
+            )
+
+        if kind_name == "diffuse":
             out["kind"] = mtl.DIFFUSE
             reflectance()
-        elif kind_name in ("conductor", "coatedconductor"):
+        elif kind_name == "coateddiffuse":
+            out["kind"] = mtl.COATED_DIFFUSE
+            reflectance()
+            layer_params()
+        elif kind_name == "coatedconductor":
+            out["kind"] = mtl.COATED_CONDUCTOR
+            layer_params()
+            # interface (top) roughness comes from interface.*roughness;
+            # conductor (bottom) roughness from conductor.*roughness.
+            ir = pd.get_one_float("interface.roughness", 0.0)
+            out["uroughness"] = pd.get_one_float("interface.uroughness", ir)
+            out["vroughness"] = pd.get_one_float("interface.vroughness", ir)
+            cr = pd.get_one_float("conductor.roughness", 0.0)
+            out["bot_uroughness"] = pd.get_one_float("conductor.uroughness", cr)
+            out["bot_vroughness"] = pd.get_one_float("conductor.vroughness", cr)
+            eta = pd.get_one_spectrum("conductor.eta", None, SpectrumType.UNBOUNDED)
+            k = pd.get_one_spectrum("conductor.k", None, SpectrumType.UNBOUNDED)
+            refl = pd.get_one_spectrum("reflectance", None, SpectrumType.ALBEDO)
+            if refl is not None:
+                reflectance()
+            else:
+                if eta is None:
+                    eta = named_spectrum("metal-Cu-eta")
+                    k = named_spectrum("metal-Cu-k")
+                out["eta_spec"] = add_spectrum_row(eta)
+                out["k_spec"] = add_spectrum_row(k)
+                out["reflectance_coeffs"] = np.zeros(3, np.float32)
+        elif kind_name == "conductor":
             out["kind"] = mtl.CONDUCTOR
             eta = pd.get_one_spectrum("eta", None, SpectrumType.UNBOUNDED)
             k = pd.get_one_spectrum("k", None, SpectrumType.UNBOUNDED)

@@ -164,8 +164,10 @@ def conductor_pdf(wo, wi, ax, ay):
 # --- dielectric (bxdf.rs:518-795) ---
 
 
-def dielectric_f(eta, wo, wi, ax, ay):
-    """Rough dielectric evaluation (radiance transport mode)."""
+def dielectric_f(eta, wo, wi, ax, ay, radiance=True):
+    """Rough dielectric evaluation.  ``radiance`` selects the transport
+    mode: radiance transport applies the 1/etap^2 non-symmetry factor,
+    importance transport omits it (bxdf.rs:614-620 / pbrt TransportMode)."""
     smooth = sc.effectively_smooth(ax, ay)
     eta_one = jnp.abs(eta - 1.0) < 1e-6
     cos_o = cos_theta(wo)
@@ -192,7 +194,7 @@ def dielectric_f(eta, wo, wi, ax, ay):
         * jnp.abs(
             dot(wi, wm) * dot(wo, wm) / (cos_i * cos_o * denom_t)
         )
-        / sqr(etap)  # radiance transport factor 1/etap^2
+        / (sqr(etap) if radiance else 1.0)  # radiance transport factor
     )
     f = jnp.where(reflect_case, f_reflect, f_transmit)
     ok = ~smooth & ~eta_one & wm_ok & front & (jnp.abs(cos_i) > 1e-9) & (
@@ -201,7 +203,7 @@ def dielectric_f(eta, wo, wi, ax, ay):
     return jnp.where(ok, f, 0.0)[..., None] * jnp.ones(4)
 
 
-def dielectric_sample(eta, wo, u2, uc, ax, ay, sample_flags=bx.SAMPLE_ALL):
+def dielectric_sample(eta, wo, u2, uc, ax, ay, sample_flags=bx.SAMPLE_ALL, radiance=True):
     batch = wo.shape[:-1]
     smooth = sc.effectively_smooth(ax, ay)
     allow_r = bool(sample_flags & bx.SAMPLE_REFLECTION)
@@ -232,7 +234,7 @@ def dielectric_sample(eta, wo, u2, uc, ax, ay, sample_flags=bx.SAMPLE_ALL):
     wt, etap_t, t_ok = sc.refract(wo, n_local, eta)
     cos_t = jnp.maximum(abs_cos_theta(wt), 1e-9)
     # radiance mode: scale by 1/etap^2 (bxdf.rs:614-620)
-    f_t = ((1.0 - fr_s) / cos_t / sqr(etap_t))[..., None]
+    f_t = ((1.0 - fr_s) / cos_t / (sqr(etap_t) if radiance else 1.0))[..., None]
     pdf_t = safe_div(pt, total)
     smooth_sample = select_sample(
         choose_r,
@@ -290,7 +292,7 @@ def dielectric_sample(eta, wo, u2, uc, ax, ay, sample_flags=bx.SAMPLE_ALL):
             * dot(wo, wm)
             / (cos_i_tm * cos_o * denom)
         )
-        / sqr(etap_m)
+        / (sqr(etap_m) if radiance else 1.0)
     )[..., None]
     rough = select_sample(
         choose_rm,

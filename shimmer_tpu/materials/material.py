@@ -20,7 +20,7 @@ from shimmer_tpu.materials import bxdf as bx
 from shimmer_tpu.materials.bxdf import BSDFSample, select_sample
 from shimmer_tpu.ops.vecmath import dot, normalize
 from shimmer_tpu.spectra.rgb2spec import sigmoid_poly_sample
-from shimmer_tpu.utils.pytree import pytree_dataclass
+from shimmer_tpu.utils.pytree import pytree_dataclass, static_field
 
 # Material kinds (material.rs:100-108).
 DIFFUSE = 0
@@ -61,6 +61,14 @@ class MaterialTable:
     # normal / bump maps
     normal_tex: jnp.ndarray       # (M,) int32 — tangent-space normal map
     displacement_tex: jnp.ndarray  # (M,) int32 — bump displacement
+    # layered (coated) materials: interface layer params (bxdf.rs:883-937)
+    thickness: jnp.ndarray        # (M,) layer optical thickness
+    hg_g: jnp.ndarray             # (M,) HG asymmetry of the layer medium
+    albedo: jnp.ndarray           # (M, 3) sigmoid coeffs of medium albedo
+    bot_uroughness: jnp.ndarray   # (M,) bottom-interface roughness
+    bot_vroughness: jnp.ndarray   # (M,)
+    # static: any layered material has a scattering medium (albedo != 0)?
+    layer_medium: bool = static_field(default=False)
 
 
 def make_material_table(mats: list[dict]) -> MaterialTable:
@@ -71,6 +79,12 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     refl = np.stack(
         [np.asarray(mm.get("reflectance_coeffs", [0.0, 0.0, 0.0]), np.float32) for mm in mats]
     ) if m else np.zeros((0, 3), np.float32)
+    albedo = np.stack(
+        [np.asarray(mm.get("albedo_coeffs", [0.0, 0.0, 0.0]), np.float32) for mm in mats]
+    ) if m else np.zeros((0, 3), np.float32)
+    kinds_arr = gi("kind", DIFFUSE)
+    is_coated = (kinds_arr == COATED_DIFFUSE) | (kinds_arr == COATED_CONDUCTOR)
+    layer_medium = bool(np.any(np.abs(albedo[is_coated]) > 0.0)) if m else False
     return MaterialTable(
         kind=jnp.asarray(gi("kind", DIFFUSE)),
         reflectance=jnp.asarray(refl),
@@ -87,7 +101,34 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         tex_vroughness=jnp.asarray(gi("tex_vroughness", -1)),
         normal_tex=jnp.asarray(gi("normal_tex", -1)),
         displacement_tex=jnp.asarray(gi("displacement_tex", -1)),
+        thickness=jnp.asarray(g("thickness", 0.01)),
+        hg_g=jnp.asarray(g("g", 0.0)),
+        albedo=jnp.asarray(albedo),
+        bot_uroughness=jnp.asarray(g("bot_uroughness", 0.0)),
+        bot_vroughness=jnp.asarray(g("bot_vroughness", 0.0)),
+        layer_medium=layer_medium,
     )
+
+
+def resolve_mix(materials: MaterialTable, kinds_present: tuple, mat_id, u):
+    """Stochastically resolve Mix materials to a concrete material id
+    (material.rs:1309-1330): pick m1 with probability ``amount``.  Two
+    resolution rounds handle a mix that itself points at a mix."""
+    if MIX not in kinds_present:
+        return mat_id
+    for _ in range(2):
+        is_mix = materials.kind[mat_id] == MIX
+        amt = materials.mix_amount[mat_id]
+        chosen = jnp.where(
+            u < amt, materials.mix_m1[mat_id], materials.mix_m2[mat_id]
+        )
+        mat_id = jnp.where(is_mix, chosen, mat_id)
+    return mat_id
+
+
+def resolved_kinds(kinds_present: tuple) -> tuple:
+    """Kinds that can reach BSDF dispatch after Mix resolution."""
+    return tuple(k for k in kinds_present if k != MIX)
 
 
 def _local_dirs(frame, *ws):
@@ -112,6 +153,7 @@ def bsdf_f(
     swl,
     tex=None,
     spectra_table=None,
+    rng_key=None,
 ):
     """Render-space BSDF evaluation over lanes (BSDF::f, bsdf.rs:31-42)."""
     wo, wi = _local_dirs(frame, wo_render, wi_render)
@@ -130,6 +172,14 @@ def bsdf_f(
             materials, kinds_present, mat_id, kind, wo, wi, swl, f,
             tex=tex, spectra_table=spectra_table,
         )
+    if COATED_DIFFUSE in kinds_present or COATED_CONDUCTOR in kinds_present:
+        from shimmer_tpu.materials import layered
+
+        key = rng_key if rng_key is not None else jnp.zeros(wo.shape[:-1], jnp.uint32)
+        f = layered.coated_f(
+            materials, kinds_present, mat_id, kind, wo, wi, swl, f, key,
+            tex=tex, spectra_table=spectra_table,
+        )
     return jnp.where(degenerate[..., None], 0.0, f)
 
 
@@ -145,6 +195,7 @@ def bsdf_sample(
     swl,
     tex=None,
     spectra_table=None,
+    rng_key=None,
 ) -> BSDFSample:
     """Render-space BSDF sampling (BSDF::sample_f, bsdf.rs:60-82).
 
@@ -164,6 +215,14 @@ def bsdf_sample(
 
         out = cd.rough_sample(
             materials, kinds_present, mat_id, kind, wo, u2, uc, swl, out,
+            tex=tex, spectra_table=spectra_table,
+        )
+    if COATED_DIFFUSE in kinds_present or COATED_CONDUCTOR in kinds_present:
+        from shimmer_tpu.materials import layered
+
+        key = rng_key if rng_key is not None else jnp.zeros(batch, jnp.uint32)
+        out = layered.coated_sample(
+            materials, kinds_present, mat_id, kind, wo, u2, uc, swl, out, key,
             tex=tex, spectra_table=spectra_table,
         )
     degenerate = jnp.abs(wo[..., 2]) < 1e-9
@@ -190,6 +249,7 @@ def bsdf_pdf(
     swl,
     tex=None,
     spectra_table=None,
+    rng_key=None,
 ):
     """Render-space BSDF pdf (BSDF::pdf, bsdf.rs:84-95)."""
     wo, wi = _local_dirs(frame, wo_render, wi_render)
@@ -202,6 +262,14 @@ def bsdf_pdf(
 
         pdf = cd.rough_pdf(
             materials, kinds_present, mat_id, kind, wo, wi, swl, pdf,
+            tex=tex, spectra_table=spectra_table,
+        )
+    if COATED_DIFFUSE in kinds_present or COATED_CONDUCTOR in kinds_present:
+        from shimmer_tpu.materials import layered
+
+        key = rng_key if rng_key is not None else jnp.zeros(wo.shape[:-1], jnp.uint32)
+        pdf = layered.coated_pdf(
+            materials, kinds_present, mat_id, kind, wo, wi, swl, pdf, key,
             tex=tex, spectra_table=spectra_table,
         )
     return jnp.where(jnp.abs(wo[..., 2]) < 1e-9, 0.0, pdf)

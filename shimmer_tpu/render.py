@@ -138,6 +138,49 @@ def make_wave_renderer(
     return jax.jit(render_samples)
 
 
+def make_scan_wave_renderer(
+    scene: Scene,
+    camera,
+    film: RgbFilm,
+    sampler,
+    integrator: str = "path",
+    max_depth: int = 5,
+    regularize: bool = False,
+    use_visible_wavelengths: bool = True,
+    integrator_options: dict | None = None,
+):
+    """Whole-wave jitted renderer: scans over pixel blocks *inside* one
+    program, so an entire wave (all pixels × a set of sample indices) is a
+    single device dispatch.  This amortizes host↔device launch latency —
+    the TPU-pod analog of persistent kernels — at the cost of one larger
+    compile."""
+    li_fn = INTEGRATORS[integrator]
+    opts = dict(integrator_options or {})
+    if integrator == "path" and regularize:
+        opts["regularize"] = True
+    spread = getattr(camera, "pixel_spread", 0.0)
+    if spread and "pixel_spread" not in opts:
+        opts["pixel_spread"] = spread * max(
+            0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
+        )
+
+    def render_wave(film_state: FilmState, sample_indices, blocks, valids):
+        def body(fs, xs):
+            pixel_xy, pixel_valid = xs
+            fs = render_pixel_samples(
+                scene, camera, film, sampler, li_fn, opts, fs,
+                sample_indices, pixel_xy, pixel_valid=pixel_valid,
+                max_depth=max_depth,
+                use_visible_wavelengths=use_visible_wavelengths,
+            )
+            return fs, None
+
+        film_state, _ = jax.lax.scan(body, film_state, (blocks, valids))
+        return film_state
+
+    return jax.jit(render_wave)
+
+
 DEFAULT_PIXEL_BLOCK = 1 << 15
 
 

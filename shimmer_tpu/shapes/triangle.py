@@ -63,6 +63,11 @@ class TriangleSceneData:
     leaf_first: jnp.ndarray  # (B,) -1 = internal
     leaf_count: jnp.ndarray  # (B,)
     skip: jnp.ndarray        # (B,)
+    # Packed hot-path tables: XLA TPU gathers cost ~the same per ROW
+    # whatever the row width, so the traversal fetches ONE row per node
+    # and ONE row per triangle instead of ~21 separate gathers/step.
+    packed_nodes: jnp.ndarray  # (B, 16) f32: lo, hi, bits(first,count,skip)
+    packed_tris: jnp.ndarray   # (T, 12) f32: p0, p1, p2 (BVH order), pad
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
     leaf_size: int = static_field(default=4)
@@ -134,6 +139,18 @@ def build_triangle_scene(
     e2 = tri_p[:, 2] - tri_p[:, 0]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
+    nb = bvh.node_lo.shape[0]
+    packed_nodes = np.zeros((nb, 16), np.float32)
+    packed_nodes[:, 0:3] = bvh.node_lo
+    packed_nodes[:, 3:6] = bvh.node_hi
+    packed_nodes[:, 6] = bvh.leaf_first.view(np.float32)
+    packed_nodes[:, 7] = bvh.leaf_count.view(np.float32)
+    packed_nodes[:, 8] = bvh.skip.view(np.float32)
+    t_n = sorted_indices.shape[0]
+    packed_tris = np.zeros((t_n, 12), np.float32)
+    sorted_tri_p = p[sorted_indices]  # (T, 3, 3) in BVH order
+    packed_tris[:, 0:9] = sorted_tri_p.reshape(t_n, 9)
+
     return TriangleSceneData(
         p=jnp.asarray(p),
         n=jnp.asarray(n),
@@ -150,6 +167,8 @@ def build_triangle_scene(
         leaf_first=jnp.asarray(bvh.leaf_first),
         leaf_count=jnp.asarray(bvh.leaf_count),
         skip=jnp.asarray(bvh.skip),
+        packed_nodes=jnp.asarray(packed_nodes),
+        packed_tris=jnp.asarray(packed_tris),
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
         leaf_size=bvh.leaf_size,
@@ -158,10 +177,20 @@ def build_triangle_scene(
     )
 
 
-def _permute_to_max_z(v, kx, ky, kz):
-    """Gather components (kx, ky, kz) of (..., 3) vectors."""
-    take = lambda k: jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
-    return take(kx), take(ky), take(kz)
+def _permute_to_max_z(v, kz):
+    """Cyclic-permute (..., 3) vectors so component ``kz`` lands in z.
+
+    kz in {0,1,2}; (kx, ky) = (kz+1, kz+2) mod 3.  Implemented as pure
+    lane-wise selects — per-lane ``take_along_axis`` gathers cost ~1000x
+    more than VPU selects on TPU (measured; this one change was worth
+    ~10x on whole-scene traversal)."""
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    is0 = kz == 0
+    is1 = kz == 1
+    ox = jnp.where(is0, vy, jnp.where(is1, vz, vx))
+    oy = jnp.where(is0, vz, jnp.where(is1, vx, vy))
+    oz = jnp.where(is0, vx, jnp.where(is1, vy, vz))
+    return ox, oy, oz
 
 
 def intersect_triangle(ray_o, ray_d, t_max, p0, p1, p2):
@@ -175,12 +204,10 @@ def intersect_triangle(ray_o, ray_d, t_max, p0, p1, p2):
     p2t = p2 - ray_o
     # Permute so |d_z| is the largest component.
     kz = jnp.argmax(jnp.abs(ray_d), axis=-1)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-    dx, dy, dz = _permute_to_max_z(ray_d, kx, ky, kz)
-    p0x, p0y, p0z = _permute_to_max_z(p0t, kx, ky, kz)
-    p1x, p1y, p1z = _permute_to_max_z(p1t, kx, ky, kz)
-    p2x, p2y, p2z = _permute_to_max_z(p2t, kx, ky, kz)
+    dx, dy, dz = _permute_to_max_z(ray_d, kz)
+    p0x, p0y, p0z = _permute_to_max_z(p0t, kz)
+    p1x, p1y, p1z = _permute_to_max_z(p1t, kz)
+    p2x, p2y, p2z = _permute_to_max_z(p2t, kz)
     # Shear to align the ray with +z.
     dz_safe = jnp.where(dz == 0.0, 1.0, dz)
     sx = -dx / dz_safe
@@ -236,22 +263,16 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
     reference's near-child-first ordered stack walk (aggregate.rs:71-139)
     becomes ``next = hit ? node+1 : skip``: fixed DFS order, zero per-lane
     stack, identical results.
+
+    Performance shape (measured on v5e through XLA): a random row gather
+    costs ~0.3-1.5 ms per step for 32k-512k lanes *regardless of row
+    width*, so the loop body does exactly 1 node-row gather plus
+    ``leaf_size`` triangle-row gathers from pre-packed tables — not the
+    ~21 separate column gathers of the naive layout.
     """
     n = ray_o.shape[0]
-    n_nodes = tris.node_lo.shape[0]
+    n_nodes = tris.packed_nodes.shape[0]
     inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)
-
-    def slab(node, t_best):
-        lo = tris.node_lo[node]
-        hi = tris.node_hi[node]
-        t0 = (lo - ray_o) * inv_d
-        t1 = (hi - ray_o) * inv_d
-        tn = jnp.minimum(t0, t1)
-        tf = jnp.maximum(t0, t1)
-        t_near = jnp.max(tn, axis=-1)
-        t_far = jnp.min(tf, axis=-1)
-        # Conservative slab test (bounding_box.rs:483-553): pad t_far.
-        return (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near < t_best)
 
     def cond(state):
         node, t_best, tri_best, b1, b2, found = state
@@ -266,27 +287,40 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         active = node < n_nodes
         if any_hit:
             active = active & ~found
-        hit_box = slab(nd, t_best) & active
-        first = tris.leaf_first[nd]
+        row = tris.packed_nodes[nd]              # ONE gather
+        lo = row[..., 0:3]
+        hi = row[..., 3:6]
+        first = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+        count = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(row[..., 8], jnp.int32)
+        t0 = (lo - ray_o) * inv_d
+        t1 = (hi - ray_o) * inv_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # Conservative slab test (bounding_box.rs:483-553): pad t_far.
+        hit_box = (
+            (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near < t_best)
+        ) & active
         is_leaf = first >= 0
         test_leaf = hit_box & is_leaf
-        count = tris.leaf_count[nd]
         for k in range(tris.leaf_size):
             in_leaf = test_leaf & (k < count)
             tri = jnp.where(in_leaf, first + k, 0)
-            idx, p0, p1, p2 = _gather_tri(tris, tri)
+            trow = tris.packed_tris[tri]         # ONE gather per leaf slot
+            p0 = trow[..., 0:3]
+            p1 = trow[..., 3:6]
+            p2 = trow[..., 6:9]
             h, t, bb0, bb1, bb2 = intersect_triangle(
                 ray_o, ray_d, t_best, p0, p1, p2
             )
-            h = h & in_leaf
-            closer = h & (t < t_best)
+            closer = h & in_leaf & (t < t_best)
             t_best = jnp.where(closer, t, t_best)
             tri_best = jnp.where(closer, tri, tri_best)
             b1 = jnp.where(closer, bb1, b1)
             b2 = jnp.where(closer, bb2, b2)
             found = found | closer
         descend = hit_box & ~is_leaf
-        nxt = jnp.where(descend, nd + 1, tris.skip[nd])
+        nxt = jnp.where(descend, nd + 1, skip)
         node = jnp.where(active, nxt, node)
         return (node, t_best, tri_best, b1, b2, found)
 
