@@ -188,6 +188,7 @@ def li_path(
     regularize: bool = False,
     return_stats: bool = False,
     pixel_spread: float = 0.0,
+    alive_mask=None,
 ):
     """Production path integrator: NEE + MIS power heuristic + Russian
     roulette (PathIntegrator::li, integrator.rs:730-963).
@@ -195,11 +196,13 @@ def li_path(
     ray: (N,)-lane Ray; returns (N, 4) radiance estimate (with
     return_stats: also a dict with 'rays' = total rays traced, the
     closest-hit + shadow-ray count used for Mrays/s benchmarks).
+    alive_mask: optional (N,) bool — lanes that carry real work (padded
+    lanes excluded from both tracing results and ray statistics).
     """
     n = ray.o.shape[:-1]
     l = jnp.zeros(n + (4,), jnp.float32)
     beta = jnp.ones(n + (4,), jnp.float32)
-    alive = jnp.ones(n, bool)
+    alive = jnp.ones(n, bool) if alive_mask is None else jnp.asarray(alive_mask)
     specular = jnp.ones(n, bool)
     p_b = jnp.ones(n, jnp.float32)
     eta_scale = jnp.ones(n, jnp.float32)

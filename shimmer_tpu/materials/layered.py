@@ -177,7 +177,10 @@ def layered_f(
 
         def body(carry, depth):
             f, beta, w, z, alive, c = carry
-            r = _Rng(rng_key, counter=c)
+            # Per-sample stream: same hashed key as the prologue draws
+            # (counters stay disjoint — prologue used 0..3, c starts at 4),
+            # so n_samples > 1 walks are independent.
+            r = _Rng(srng.hash_combine(rng_key, jnp.uint32(1000 + s_i)), counter=c)
             # Russian roulette (bxdf.rs:1050-1060).
             rr_beta = jnp.max(beta, axis=-1)
             q = jnp.maximum(0.0, 1.0 - rr_beta)
@@ -278,10 +281,17 @@ def layered_f(
             new_w = bs.wi
 
             # MIS exit contribution for the fresh bottom sample
-            # (bxdf.rs:1196-1210).
+            # (bxdf.rs:1196-1210).  When the non-exit (bottom) interface is
+            # specular the NEE strategy is zero, so the sampled strategy
+            # carries full weight (the reference's
+            # !non_exit_interface.is_specular() guard).
             f_exit = top.f(-new_w, wi)
             exit_pdf = top.pdf(-new_w, wi, flags=bx.SAMPLE_TRANSMISSION)
-            wt2 = power_heuristic(1.0, bs.pdf, 1.0, exit_pdf)
+            wt2 = jnp.where(
+                bottom.specular,
+                1.0,
+                power_heuristic(1.0, bs.pdf, 1.0, exit_pdf),
+            )
             mis_c = (
                 new_beta * _tr(thickness, new_w)[..., None]
                 * f_exit * wt2[..., None]
@@ -446,7 +456,9 @@ def layered_pdf(
     wi = jnp.where(flip, -wi, wi)
     same = same_hemisphere(wo, wi)
     batch = wo.shape[:-1]
-    r = _Rng(rng_key)
+    # Decorrelate the pdf-estimate stream from layered_sample's walk
+    # (both receive the same per-lane rng_key within a bounce).
+    r = _Rng(srng.hash_combine(rng_key, jnp.uint32(77777)))
 
     # Direct top-interface reflection strategy (bxdf.rs:1430-1436).
     pdf_sum = jnp.where(

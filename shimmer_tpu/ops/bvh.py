@@ -17,9 +17,18 @@ machine, and lock-step SIMD traversal pays for the worst lane, so tree
 * **Layout**: nodes in *preorder* with a ``skip`` link (threaded BVH):
   traversal state is one int per lane — ``next = hit ? node+1 : skip`` —
   uniform control flow across lanes.
+* **Fat packing** (``pack_fat_bvh``): the measured cost of an XLA row
+  gather on TPU v5e is ~5 ns/row *independent of row width up to 128
+  floats*, so each traversal step should fetch one 512-byte row that
+  resolves as much work as possible.  Internal rows carry BOTH child
+  boxes (so only nodes whose box hit are ever visited); leaf rows carry
+  up to 8 triangles inline (vertices + ids), making leaf processing
+  gather-free.  Integer fields are stored as exact small floats
+  (|v| < 2^24) — no bit-casting, so NaN canonicalization or denormal
+  flushing in any data path cannot corrupt topology.
 
-An optional C++ builder (shimmer_tpu.native) provides binned-SAH quality
-for the same array layout.
+The C++ builder (shimmer_tpu.native.sah) provides binned-SAH quality for
+the same BVHArrays layout; this module's LBVH is the pure-numpy fallback.
 """
 
 from __future__ import annotations
@@ -287,6 +296,72 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
         leaf_size=int(leaf_count.max()),
         n_nodes=n_nodes,
     )
+
+
+# Fat-row column layout (one (128,) f32 row per node):
+#   internal:  0:6 left-child box (lo,hi) | 6:12 right-child box
+#              | 12 right-child idx | 13 skip | 14 leaf count (=0)
+#   leaf:      13 skip | 14 count k in 1..8
+#              | 16+9j : 25+9j  triangle j vertices p0,p1,p2 (9 f32)
+#              | 88+j            triangle j id (BVH-sorted order)
+# All indices/counts stored as exact small floats.
+FAT_W = 128
+FAT_MAX_LEAF = 8
+_FAT_RIGHT = 12
+_FAT_SKIP = 13
+_FAT_COUNT = 14
+_FAT_TRI0 = 16
+_FAT_IDS = 88
+
+
+def pack_fat_bvh(bvh: BVHArrays, tri_p_sorted: np.ndarray) -> np.ndarray:
+    """Pack a threaded BVHArrays + BVH-sorted triangle vertices (T, 3, 3)
+    into the fat (B, 128) f32 node table described above.
+
+    Children are recovered from the preorder layout: left = i + 1,
+    right = skip(left).  Leaves must have ≤ FAT_MAX_LEAF triangles.
+    """
+    n = bvh.n_nodes
+    assert n < (1 << 24) and tri_p_sorted.shape[0] < (1 << 24), (
+        "fat BVH float-encoded indices need |v| < 2^24"
+    )
+    assert bvh.leaf_size <= FAT_MAX_LEAF, (
+        f"fat leaves hold at most {FAT_MAX_LEAF} tris, got {bvh.leaf_size}"
+    )
+    rows = np.zeros((n, FAT_W), np.float32)
+    is_leaf = bvh.leaf_first >= 0
+    ids = np.arange(n, dtype=np.int64)
+
+    # Internal rows: child boxes + right/skip links.
+    internal = ids[~is_leaf]
+    if len(internal):
+        left = internal + 1
+        right = bvh.skip[left].astype(np.int64)
+        rows[internal, 0:3] = bvh.node_lo[left]
+        rows[internal, 3:6] = bvh.node_hi[left]
+        rows[internal, 6:9] = bvh.node_lo[right]
+        rows[internal, 9:12] = bvh.node_hi[right]
+        rows[internal, _FAT_RIGHT] = right.astype(np.float32)
+    rows[:, _FAT_SKIP] = bvh.skip.astype(np.float32)
+
+    # Leaf rows: inline triangles.
+    leaves = ids[is_leaf]
+    if len(leaves):
+        rows[leaves, _FAT_COUNT] = bvh.leaf_count[leaves].astype(np.float32)
+        first = bvh.leaf_first[leaves].astype(np.int64)
+        count = bvh.leaf_count[leaves].astype(np.int64)
+        t_total = tri_p_sorted.shape[0]
+        for k in range(FAT_MAX_LEAF):
+            m = count > k
+            if not m.any():
+                break
+            tri = first[m] + k
+            assert tri.max() < t_total
+            rows[leaves[m], _FAT_TRI0 + 9 * k : _FAT_TRI0 + 9 * (k + 1)] = (
+                tri_p_sorted[tri].reshape(-1, 9)
+            )
+            rows[leaves[m], _FAT_IDS + k] = tri.astype(np.float32)
+    return rows
 
 
 def bvh_validate(bvh: BVHArrays, lo: np.ndarray, hi: np.ndarray) -> bool:

@@ -1,5 +1,5 @@
-"""Triangle meshes: watertight intersection, threaded-BVH traversal,
-solid-angle sampling.
+"""Triangle meshes: watertight intersection, fat-row threaded-BVH
+traversal, solid-angle sampling.
 
 TPU-native analog of /root/reference/src/shape/triangle.rs + mesh.rs +
 aggregate.rs.  All scene triangle meshes are concatenated into one vertex
@@ -7,9 +7,25 @@ pool + index table, pre-transformed to render space at build (the reference
 does the same per mesh, mesh.rs:39-46).  Intersection implements the
 watertight translate-permute-shear algorithm (triangle.rs:173-302 —
 algorithm only; the f64 edge-function fallback is omitted, f32 edge
-functions use difference_of_products compensation instead).  Traversal is
-the stackless threaded BVH from shimmer_tpu.ops.bvh: one int of state per
-lane, lock-step ``lax.while_loop``.
+functions use difference_of_products compensation instead).
+
+Traversal performance model (measured on TPU v5e): an XLA row gather costs
+~5 ns/row *regardless of row width up to 128 floats*, so the design goal is
+the minimum number of gather steps per ray query.  Each while-loop step
+fetches ONE 512-byte node row:
+
+* internal rows carry BOTH child boxes, so the walk only ever lands on
+  nodes whose box is known to intersect the ray (plus cheap threaded-skip
+  landings) — the reference's ordered stack walk (aggregate.rs:71-139)
+  becomes ``next = hitL ? left : hitR ? right : skip``;
+* leaf rows carry up to 8 triangles inline (vertices + ids), so leaf
+  processing and the hit vertices are gather-free;
+* post-traversal shading attributes (uv / shading normals / material ids)
+  come from ONE packed 128-byte attribute row per hit.
+
+Integer topology fields are stored as exact small floats (< 2^24) — no bit
+casts, so NaN canonicalization or denormal flushing cannot corrupt the
+tree.
 """
 
 from __future__ import annotations
@@ -18,10 +34,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shimmer_tpu.ops.bvh import BVHArrays, build_bvh
-from shimmer_tpu.ops.math import difference_of_products, safe_sqrt
+from shimmer_tpu.ops.bvh import (
+    FAT_MAX_LEAF,
+    _FAT_COUNT,
+    _FAT_IDS,
+    _FAT_RIGHT,
+    _FAT_SKIP,
+    _FAT_TRI0,
+    build_bvh,
+    pack_fat_bvh,
+)
+from shimmer_tpu.ops.math import difference_of_products
 from shimmer_tpu.ops.sampling import (
-    invert_uniform_triangle_sample,
     sample_spherical_triangle,
     sample_uniform_triangle,
 )
@@ -41,44 +65,52 @@ from shimmer_tpu.utils.pytree import pytree_dataclass, static_field
 MIN_SPHERICAL_SAMPLE_AREA = 3e-4
 MAX_SPHERICAL_SAMPLE_AREA = 6.22
 
+# Attribute-row columns (one (32,) f32 row per BVH-sorted triangle).
+_ATTR_W = 32
+_A_UV = 0        # 0:6   uv0, uv1, uv2
+_A_NS = 6        # 6:15  n0, n1, n2 (zeros when the mesh has no normals)
+_A_MAT = 15      # material id (may be -1)
+_A_ALI = 16      # area light id (may be -1)
+_A_REV = 17      # reverse_orientation flag (0/1)
+_A_ORIG = 18     # original (pre-BVH-sort) triangle index
+
+# Light-row columns (one (16,) f32 row per ORIGINAL-order triangle).
+_LIGHT_W = 16    # 0:9 p0,p1,p2 | 9 rev
+
 
 @pytree_dataclass
 class TriangleSceneData:
-    # Vertex pools (render space).
+    # Vertex pools (render space) — kept for sampling + the optional
+    # differentiable re-intersection path.
     p: jnp.ndarray          # (V, 3)
     n: jnp.ndarray          # (V, 3) shading normals (zeros if absent)
     uv: jnp.ndarray         # (V, 2)
-    # BVH-ordered triangle table (T,):
+    # BVH-ordered triangle index table (differentiable re-gather path).
     indices: jnp.ndarray    # (T, 3) int32 into vertex pool
-    material_id: jnp.ndarray    # (T,) int32
-    area_light_id: jnp.ndarray  # (T,) int32
-    reverse_orientation: jnp.ndarray  # (T,) bool
-    # Original-order triangle table (for light sampling by shape index):
+    # Original-order triangle table (light sampling by shape index):
     orig_indices: jnp.ndarray  # (T, 3)
     orig_rev: jnp.ndarray      # (T,) bool
     tri_area: jnp.ndarray      # (T,)
-    # Threaded BVH:
-    node_lo: jnp.ndarray    # (B, 3)
-    node_hi: jnp.ndarray    # (B, 3)
-    leaf_first: jnp.ndarray  # (B,) -1 = internal
-    leaf_count: jnp.ndarray  # (B,)
-    skip: jnp.ndarray        # (B,)
-    # Packed hot-path tables: XLA TPU gathers cost ~the same per ROW
-    # whatever the row width, so the traversal fetches ONE row per node
-    # and ONE row per triangle instead of ~21 separate gathers/step.
-    packed_nodes: jnp.ndarray  # (B, 16) f32: lo, hi, bits(first,count,skip)
-    packed_tris: jnp.ndarray   # (T, 12) f32: p0, p1, p2 (BVH order), pad
+    # Hot-path packed tables:
+    fat_nodes: jnp.ndarray   # (B, 128) f32 — see ops/bvh.py layout
+    attr_rows: jnp.ndarray   # (T, 32) f32, BVH order
+    light_rows: jnp.ndarray  # (T, 16) f32, original order
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
-    leaf_size: int = static_field(default=4)
     has_normals: bool = static_field(default=False)
     has_uv: bool = static_field(default=False)
+    # When True, the chosen triangle is re-intersected differentiably from
+    # the vertex pool after the (detached) traversal, so gradients flow to
+    # vertex positions.  Costs ~4 extra row gathers per query.
+    differentiable_hits: bool = static_field(default=False)
 
 
 def build_triangle_scene(
-    meshes: list[dict], leaf_size: int = 4
+    meshes: list[dict],
+    leaf_size: int = FAT_MAX_LEAF,
+    differentiable_hits: bool = False,
 ) -> TriangleSceneData:
-    """Host: concatenate meshes and build the BVH.
+    """Host: concatenate meshes, build the BVH, pack the fat tables.
 
     Each mesh dict: ``p`` (V,3 render-space vertices), ``indices`` (T,3),
     optional ``n`` (V,3), ``uv`` (V,2), ``material_id``, ``area_light_id``
@@ -126,55 +158,64 @@ def build_triangle_scene(
     tri_p = p[indices]  # (T, 3, 3)
     lo = tri_p.min(axis=1)
     hi = tri_p.max(axis=1)
-    bvh = build_bvh(lo, hi, leaf_size)
+    leaf_size = min(leaf_size, FAT_MAX_LEAF)
+    bvh = _build_best_bvh(lo, hi, leaf_size)
 
     # BVH-order permuted tables.
     perm = bvh.perm
     sorted_indices = indices[perm].astype(np.int32)
-    sorted_mat = material_id[perm].astype(np.int32)
-    sorted_ali = area_light_id[perm].astype(np.int32)
-    sorted_rev = rev[perm]
+    sorted_tri_p = tri_p[perm]  # (T, 3, 3) BVH order
+    fat_nodes = pack_fat_bvh(bvh, sorted_tri_p)
 
     e1 = tri_p[:, 1] - tri_p[:, 0]
     e2 = tri_p[:, 2] - tri_p[:, 0]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
-    nb = bvh.node_lo.shape[0]
-    packed_nodes = np.zeros((nb, 16), np.float32)
-    packed_nodes[:, 0:3] = bvh.node_lo
-    packed_nodes[:, 3:6] = bvh.node_hi
-    packed_nodes[:, 6] = bvh.leaf_first.view(np.float32)
-    packed_nodes[:, 7] = bvh.leaf_count.view(np.float32)
-    packed_nodes[:, 8] = bvh.skip.view(np.float32)
     t_n = sorted_indices.shape[0]
-    packed_tris = np.zeros((t_n, 12), np.float32)
-    sorted_tri_p = p[sorted_indices]  # (T, 3, 3) in BVH order
-    packed_tris[:, 0:9] = sorted_tri_p.reshape(t_n, 9)
+    attr = np.zeros((t_n, _ATTR_W), np.float32)
+    tri_uv = uv[sorted_indices]  # (T, 3, 2)
+    # Default UVs (0,0),(1,0),(1,1) when a triangle has none
+    # (triangle.rs:361-369).
+    no_uv = np.abs(tri_uv).sum(axis=(1, 2)) == 0.0
+    tri_uv[no_uv] = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
+    attr[:, _A_UV : _A_UV + 6] = tri_uv.reshape(t_n, 6)
+    attr[:, _A_NS : _A_NS + 9] = n[sorted_indices].reshape(t_n, 9)
+    attr[:, _A_MAT] = material_id[perm].astype(np.float32)
+    attr[:, _A_ALI] = area_light_id[perm].astype(np.float32)
+    attr[:, _A_REV] = rev[perm].astype(np.float32)
+    attr[:, _A_ORIG] = perm.astype(np.float32)
+
+    light_rows = np.zeros((t_n, _LIGHT_W), np.float32)
+    light_rows[:, 0:9] = tri_p.reshape(t_n, 9)
+    light_rows[:, 9] = rev.astype(np.float32)
 
     return TriangleSceneData(
         p=jnp.asarray(p),
         n=jnp.asarray(n),
         uv=jnp.asarray(uv),
         indices=jnp.asarray(sorted_indices),
-        material_id=jnp.asarray(sorted_mat),
-        area_light_id=jnp.asarray(sorted_ali),
-        reverse_orientation=jnp.asarray(sorted_rev),
         orig_indices=jnp.asarray(indices),
         orig_rev=jnp.asarray(rev),
         tri_area=jnp.asarray(area, jnp.float32),
-        node_lo=jnp.asarray(bvh.node_lo),
-        node_hi=jnp.asarray(bvh.node_hi),
-        leaf_first=jnp.asarray(bvh.leaf_first),
-        leaf_count=jnp.asarray(bvh.leaf_count),
-        skip=jnp.asarray(bvh.skip),
-        packed_nodes=jnp.asarray(packed_nodes),
-        packed_tris=jnp.asarray(packed_tris),
+        fat_nodes=jnp.asarray(fat_nodes),
+        attr_rows=jnp.asarray(attr),
+        light_rows=jnp.asarray(light_rows),
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
-        leaf_size=bvh.leaf_size,
         has_normals=any_n,
         has_uv=any_uv,
+        differentiable_hits=differentiable_hits,
     )
+
+
+def _build_best_bvh(lo, hi, leaf_size):
+    """Binned-SAH C++ builder when available, numpy LBVH otherwise."""
+    try:
+        from shimmer_tpu.native.sah import build_sah_bvh
+
+        return build_sah_bvh(lo, hi, leaf_size)
+    except Exception:
+        return build_bvh(lo, hi, leaf_size)
 
 
 def _permute_to_max_z(v, kz):
@@ -257,83 +298,104 @@ def _gather_tri(tris: TriangleSceneData, tri_idx):
 
 
 def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
-    """Lock-step threaded-BVH traversal.
+    """Lock-step fat-row threaded-BVH traversal.
 
-    Returns (t, tri_idx, b1, b2) with tri_idx = -1 for misses.  The
-    reference's near-child-first ordered stack walk (aggregate.rs:71-139)
-    becomes ``next = hit ? node+1 : skip``: fixed DFS order, zero per-lane
-    stack, identical results.
+    Returns (t, tri_idx, b0, b1, b2, tri_verts) with tri_idx = -1 for
+    misses and tri_verts (..., 9) the winning triangle's vertices (from
+    the leaf row, so no post-traversal vertex gather is needed).
 
-    Performance shape (measured on v5e through XLA): a random row gather
-    costs ~0.3-1.5 ms per step for 32k-512k lanes *regardless of row
-    width*, so the loop body does exactly 1 node-row gather plus
-    ``leaf_size`` triangle-row gathers from pre-packed tables — not the
-    ~21 separate column gathers of the naive layout.
+    Each step costs ONE row gather (~5 ns/row on v5e regardless of row
+    width ≤ 128 f32 — measured); all box/triangle math is VPU-parallel
+    across lanes.
     """
     n = ray_o.shape[0]
-    n_nodes = tris.packed_nodes.shape[0]
+    nodes = tris.fat_nodes
+    n_nodes = nodes.shape[0]
     inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)
 
-    def cond(state):
-        node, t_best, tri_best, b1, b2, found = state
-        active = node < n_nodes
-        if any_hit:
-            active = active & ~found
-        return jnp.any(active)
-
-    def body(state):
-        node, t_best, tri_best, b1, b2, found = state
-        nd = jnp.minimum(node, n_nodes - 1)
-        active = node < n_nodes
-        if any_hit:
-            active = active & ~found
-        row = tris.packed_nodes[nd]              # ONE gather
-        lo = row[..., 0:3]
-        hi = row[..., 3:6]
-        first = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
-        count = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
-        skip = jax.lax.bitcast_convert_type(row[..., 8], jnp.int32)
+    def slab(lo, hi, t_best, active):
         t0 = (lo - ray_o) * inv_d
         t1 = (hi - ray_o) * inv_d
         t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
         t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
         # Conservative slab test (bounding_box.rs:483-553): pad t_far.
-        hit_box = (
+        return (
             (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near < t_best)
         ) & active
-        is_leaf = first >= 0
-        test_leaf = hit_box & is_leaf
-        for k in range(tris.leaf_size):
-            in_leaf = test_leaf & (k < count)
-            tri = jnp.where(in_leaf, first + k, 0)
-            trow = tris.packed_tris[tri]         # ONE gather per leaf slot
-            p0 = trow[..., 0:3]
-            p1 = trow[..., 3:6]
-            p2 = trow[..., 6:9]
-            h, t, bb0, bb1, bb2 = intersect_triangle(
-                ray_o, ray_d, t_best, p0, p1, p2
-            )
-            closer = h & in_leaf & (t < t_best)
-            t_best = jnp.where(closer, t, t_best)
-            tri_best = jnp.where(closer, tri, tri_best)
-            b1 = jnp.where(closer, bb1, b1)
-            b2 = jnp.where(closer, bb2, b2)
-            found = found | closer
-        descend = hit_box & ~is_leaf
-        nxt = jnp.where(descend, nd + 1, skip)
-        node = jnp.where(active, nxt, node)
-        return (node, t_best, tri_best, b1, b2, found)
+
+    def cond(state):
+        node = state[0]
+        active = node < n_nodes
+        if any_hit:
+            active = active & (state[2] < 0)
+        return jnp.any(active)
+
+    def body(state):
+        node, t_best, tri_best, b0, b1, b2, verts = state
+        nd = jnp.minimum(node, n_nodes - 1)
+        active = node < n_nodes
+        if any_hit:
+            active = active & (tri_best < 0)
+        row = nodes[nd]                       # ONE fat gather (N, 128)
+        count = row[:, _FAT_COUNT].astype(jnp.int32)
+        skip = row[:, _FAT_SKIP].astype(jnp.int32)
+        is_leaf = count > 0
+
+        # Internal nodes: test both child boxes, descend into the first
+        # hit child (its sub-DFS ends with skip = the other child).
+        hit_l = slab(row[:, 0:3], row[:, 3:6], t_best, active & ~is_leaf)
+        hit_r = slab(row[:, 6:9], row[:, 9:12], t_best, active & ~is_leaf)
+        right = row[:, _FAT_RIGHT].astype(jnp.int32)
+        nxt = jnp.where(hit_l, nd + 1, jnp.where(hit_r, right, skip))
+
+        # Leaf nodes: intersect up to 8 inline triangles at once.
+        trib = row[:, _FAT_TRI0 : _FAT_TRI0 + 9 * FAT_MAX_LEAF].reshape(
+            n, FAT_MAX_LEAF, 3, 3
+        )
+        lane_k = jnp.arange(FAT_MAX_LEAF, dtype=jnp.int32)
+        in_leaf = (active & is_leaf)[:, None] & (lane_k[None, :] < count[:, None])
+        h, t, bb0, bb1, bb2 = intersect_triangle(
+            ray_o[:, None, :],
+            ray_d[:, None, :],
+            t_best[:, None],
+            trib[:, :, 0],
+            trib[:, :, 1],
+            trib[:, :, 2],
+        )
+        t = jnp.where(h & in_leaf, t, jnp.inf)
+        k_best = jnp.argmin(t, axis=-1)
+        oh = (lane_k[None, :] == k_best[:, None])
+        t_new = jnp.min(t, axis=-1)
+        closer = t_new < t_best
+        pick = lambda x: jnp.sum(jnp.where(oh, x, 0.0), axis=-1)
+        tri_ids = row[:, _FAT_IDS : _FAT_IDS + FAT_MAX_LEAF]
+        t_best = jnp.where(closer, t_new, t_best)
+        tri_best = jnp.where(closer, pick(tri_ids).astype(jnp.int32), tri_best)
+        b0 = jnp.where(closer, pick(bb0), b0)
+        b1 = jnp.where(closer, pick(bb1), b1)
+        b2 = jnp.where(closer, pick(bb2), b2)
+        verts_new = jnp.sum(
+            jnp.where(oh[:, :, None], trib.reshape(n, FAT_MAX_LEAF, 9), 0.0),
+            axis=1,
+        )
+        verts = jnp.where(closer[:, None], verts_new, verts)
+
+        node = jnp.where(active, jnp.where(is_leaf, skip, nxt), node)
+        return (node, t_best, tri_best, b0, b1, b2, verts)
 
     state = (
         jnp.zeros(n, jnp.int32),
-        jnp.asarray(t_max, jnp.float32),
+        jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32),
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, bool),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros((n, 9), jnp.float32),
     )
-    node, t_best, tri_best, b1, b2, found = jax.lax.while_loop(cond, body, state)
-    return t_best, tri_best, b1, b2
+    node, t_best, tri_best, b0, b1, b2, verts = jax.lax.while_loop(
+        cond, body, state
+    )
+    return t_best, tri_best, b0, b1, b2, verts
 
 
 def triangle_scene_intersect(
@@ -342,10 +404,8 @@ def triangle_scene_intersect(
     """Closest-hit + interaction construction
     (triangle.rs:305-504 interaction_from_intersection)."""
     # Traversal runs on detached rays (lax.while_loop is not reverse-mode
-    # differentiable, and hit *topology* is discrete anyway); the hit is
-    # then recomputed differentiably for the chosen triangle — the standard
-    # detached-traversal construction for differentiable rendering.
-    t_det, tri, _, _ = _traverse(
+    # differentiable, and hit *topology* is discrete anyway).
+    t, tri, b0, b1, b2, verts = _traverse(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
@@ -354,10 +414,19 @@ def triangle_scene_intersect(
     )
     valid = tri >= 0
     tri_c = jnp.maximum(tri, 0)
-    idx, p0, p1, p2 = _gather_tri(tris, tri_c)
-    _, t, b0, b1, b2 = intersect_triangle(
-        ray_o, ray_d, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
-    )
+
+    if tris.differentiable_hits:
+        # Re-intersect the chosen triangle from the (differentiable)
+        # vertex pool — the standard detached-traversal construction for
+        # differentiable rendering; gradients flow to vertex positions.
+        _, p0, p1, p2 = _gather_tri(tris, tri_c)
+        _, t, b0, b1, b2 = intersect_triangle(
+            ray_o, ray_d, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
+        )
+    else:
+        p0 = verts[..., 0:3]
+        p1 = verts[..., 3:6]
+        p2 = verts[..., 6:9]
     t = jnp.where(valid, t, jnp.inf)
     p_hit = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
 
@@ -365,24 +434,15 @@ def triangle_scene_intersect(
     dp12 = p1 - p2
     ng = cross(dp02, dp12)
     degenerate = length_squared(ng) < 1e-24
-    n_geom = normalize(jnp.where(degenerate[..., None], jnp.array([0.0, 0.0, 1.0]), ng))
+    n_geom = normalize(
+        jnp.where(degenerate[..., None], jnp.array([0.0, 0.0, 1.0]), ng)
+    )
 
-    # UVs (default (0,0),(1,0),(1,1) — triangle.rs:361-369).
-    if tris.has_uv:
-        uv0 = tris.uv[idx[..., 0]]
-        uv1 = tris.uv[idx[..., 1]]
-        uv2 = tris.uv[idx[..., 2]]
-        no_uv = (
-            (jnp.sum(jnp.abs(uv0), -1) + jnp.sum(jnp.abs(uv1), -1) + jnp.sum(jnp.abs(uv2), -1))
-            == 0.0
-        )
-        uv0 = jnp.where(no_uv[..., None], jnp.array([0.0, 0.0]), uv0)
-        uv1 = jnp.where(no_uv[..., None], jnp.array([1.0, 0.0]), uv1)
-        uv2 = jnp.where(no_uv[..., None], jnp.array([1.0, 1.0]), uv2)
-    else:
-        uv0 = jnp.zeros(p0.shape[:-1] + (2,))
-        uv1 = jnp.broadcast_to(jnp.array([1.0, 0.0]), uv0.shape)
-        uv2 = jnp.broadcast_to(jnp.array([1.0, 1.0]), uv0.shape)
+    # Shading attributes: ONE packed row per hit.
+    attr = tris.attr_rows[tri_c]             # (N, 32)
+    uv0 = attr[..., _A_UV + 0 : _A_UV + 2]
+    uv1 = attr[..., _A_UV + 2 : _A_UV + 4]
+    uv2 = attr[..., _A_UV + 4 : _A_UV + 6]
     uv_hit = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
 
     # dpdu/dpdv from UV deltas (triangle.rs:376-416).
@@ -407,14 +467,14 @@ def triangle_scene_intersect(
     dpdu = jnp.where(bad_uv[..., None], fx, dpdu)
     dpdv = jnp.where(bad_uv[..., None], fy, dpdv)
 
-    rev = tris.reverse_orientation[tri_c]
+    rev = attr[..., _A_REV] > 0.5
     n_geom = jnp.where(rev[..., None], -n_geom, n_geom)
 
     # Shading normals (triangle.rs:418-504).
     if tris.has_normals:
-        ns0 = tris.n[idx[..., 0]]
-        ns1 = tris.n[idx[..., 1]]
-        ns2 = tris.n[idx[..., 2]]
+        ns0 = attr[..., _A_NS + 0 : _A_NS + 3]
+        ns1 = attr[..., _A_NS + 3 : _A_NS + 6]
+        ns2 = attr[..., _A_NS + 6 : _A_NS + 9]
         ns = b0[..., None] * ns0 + b1[..., None] * ns1 + b2[..., None] * ns2
         has_ns = length_squared(ns) > 1e-12
         ns = jnp.where(has_ns[..., None], normalize(ns), n_geom)
@@ -429,6 +489,8 @@ def triangle_scene_intersect(
         ns = n_geom
         dpdus = dpdu
 
+    material_id = attr[..., _A_MAT].astype(jnp.int32)
+    area_light_id = attr[..., _A_ALI].astype(jnp.int32)
     return SurfaceInteraction.make(
         valid=valid,
         t=jnp.where(valid, t, jnp.inf),
@@ -440,15 +502,15 @@ def triangle_scene_intersect(
         dpdv=dpdv,
         ns=ns,
         dpdus=dpdus,
-        material_id=jnp.where(valid, tris.material_id[tri_c], -1),
-        area_light_id=jnp.where(valid, tris.area_light_id[tri_c], -1),
+        material_id=jnp.where(valid, material_id, -1),
+        area_light_id=jnp.where(valid, area_light_id, -1),
     )
 
 
 def triangle_scene_occluded(tris: TriangleSceneData, ray_o, ray_d, t_max):
     """Any-hit shadow query (aggregate.rs:141-203 intersect_predicate).
     Visibility is discrete — evaluated on detached rays."""
-    t, tri, _, _ = _traverse(
+    _, tri, _, _, _, _ = _traverse(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
@@ -462,8 +524,10 @@ def triangle_scene_occluded(tris: TriangleSceneData, ray_o, ray_d, t_max):
 
 
 def _orig_tri_verts(tris: TriangleSceneData, tri_idx):
-    idx = tris.orig_indices[tri_idx]
-    return tris.p[idx[..., 0]], tris.p[idx[..., 1]], tris.p[idx[..., 2]]
+    """Vertices of original-order triangle ``tri_idx`` — ONE packed-row
+    gather (the light_rows table) instead of index + 3 vertex gathers."""
+    row = tris.light_rows[tri_idx]
+    return row[..., 0:3], row[..., 3:6], row[..., 6:9]
 
 
 def triangle_light_sample(tris: TriangleSceneData, tri_idx, ref_p, ref_ns, u):
@@ -482,7 +546,7 @@ def triangle_light_sample(tris: TriangleSceneData, tri_idx, ref_p, ref_ns, u):
     )
 
     ng = cross(p1 - p0, p2 - p0)
-    rev = tris.orig_rev[tri_idx]
+    rev = tris.light_rows[tri_idx][..., 9] > 0.5
     n_unnorm = jnp.where(rev[..., None], -ng, ng)
 
     # Area sampling path.

@@ -236,9 +236,6 @@ class TestCornellBox:
         from shimmer_tpu.shapes.triangle import build_triangle_scene
 
         tris = build_triangle_scene(meshes)
-        light_tri_ids = np.nonzero(np.asarray(tris.area_light_id) >= 0)[0]
-        # map BVH-order light triangles back to original ids
-        orig = np.asarray(tris.orig_indices)
         scene = build_scene(
             triangles=tris,
             materials=[
