@@ -156,11 +156,16 @@ class _RangeUnion:
         return lo, hi
 
 
-def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
-    """Build a threaded LBVH over per-primitive AABBs.
+def binary_hierarchy(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4):
+    """Build the binary LBVH hierarchy (Karras radix splits) over
+    per-primitive AABBs.  Returns a dict of flat arrays describing the
+    *tree* (not yet laid out for traversal):
 
-    Returns preorder node arrays; primitive payloads must be gathered
-    through ``perm``.
+    ``order`` (T,) Morton sort permutation; ``node_l``/``node_r`` (B,)
+    primitive ranges (in sorted order, inclusive); ``left``/``right`` (B,)
+    child ids (-1 for leaves); ``is_leaf`` (B,); ``lo``/``hi`` (B, 3)
+    bounds.  Node 0 is the root.  Used by both the threaded BVH2 layout
+    (build_bvh) and the 8-wide collapse (ops/bvh8.py).
     """
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
@@ -179,16 +184,16 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
     tri_hi = hi[order]
 
     if t <= leaf_size:
-        return BVHArrays(
-            node_lo=tri_lo.min(0, keepdims=True),
-            node_hi=tri_hi.max(0, keepdims=True),
-            leaf_first=np.array([0], np.int32),
-            leaf_count=np.array([t], np.int32),
-            skip=np.array([1], np.int32),
-            perm=order,
-            leaf_size=t,
-            n_nodes=1,
-        )
+        return {
+            "order": order,
+            "node_l": np.array([0], np.int64),
+            "node_r": np.array([t - 1], np.int64),
+            "left": np.array([-1], np.int64),
+            "right": np.array([-1], np.int64),
+            "is_leaf": np.array([True]),
+            "lo": tri_lo.min(0, keepdims=True),
+            "hi": tri_hi.max(0, keepdims=True),
+        }
 
     cpl = _common_prefix_lengths(codes)
     rmq = _ArgminSparseTable(cpl)
@@ -243,9 +248,55 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
     left_child[parent[lmask]] = ids_all[lmask]
     right_child[parent[rmask]] = ids_all[rmask]
 
+    blo, bhi = union.query(node_l, node_r)
+    return {
+        "order": order,
+        "node_l": node_l,
+        "node_r": node_r,
+        "left": np.where(is_leaf, -1, left_child),
+        "right": np.where(is_leaf, -1, right_child),
+        "is_leaf": is_leaf,
+        "lo": blo,
+        "hi": bhi,
+        "_level_offsets": level_offsets,
+        "_levels": len(nl),
+    }
+
+
+def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
+    """Build a threaded LBVH over per-primitive AABBs.
+
+    Returns preorder node arrays; primitive payloads must be gathered
+    through ``perm``.
+    """
+    h = binary_hierarchy(lo, hi, leaf_size)
+    order = h["order"]
+    node_l, node_r = h["node_l"], h["node_r"]
+    left_child, right_child = h["left"], h["right"]
+    is_leaf = h["is_leaf"]
+    n_nodes = len(node_l)
+    t = len(order)
+
+    if n_nodes == 1:
+        return BVHArrays(
+            node_lo=h["lo"],
+            node_hi=h["hi"],
+            leaf_first=np.array([0], np.int32),
+            leaf_count=np.array([t], np.int32),
+            skip=np.array([1], np.int32),
+            perm=order,
+            leaf_size=t,
+            n_nodes=1,
+        )
+    level_offsets = h["_level_offsets"]
+    n_levels = h["_levels"]
+    parent = np.full(n_nodes, -1, np.int64)
+    ids_all = np.arange(n_nodes, dtype=np.int64)
+    parent[left_child[left_child >= 0]] = ids_all[left_child >= 0]
+    parent[right_child[right_child >= 0]] = ids_all[right_child >= 0]
+
     # --- pass 2: subtree node counts, bottom-up by level ---
     counts = np.ones(n_nodes, np.int64)
-    n_levels = len(nl)
     for lev in range(n_levels - 1, 0, -1):
         start = level_offsets[lev]
         end = level_offsets[lev + 1] if lev + 1 < len(level_offsets) else n_nodes
@@ -272,7 +323,7 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4) -> BVHArrays:
         skp[rc] = skp[ids]
 
     # --- bounds + scatter into preorder layout ---
-    blo, bhi = union.query(node_l, node_r)
+    blo, bhi = h["lo"], h["hi"]
     node_lo_arr = np.empty((n_nodes, 3), np.float32)
     node_hi_arr = np.empty((n_nodes, 3), np.float32)
     node_lo_arr[pre] = blo

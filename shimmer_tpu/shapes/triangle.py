@@ -1,4 +1,4 @@
-"""Triangle meshes: watertight intersection, fat-row threaded-BVH
+"""Triangle meshes: watertight intersection, 8-wide bitstack BVH
 traversal, solid-angle sampling.
 
 TPU-native analog of /root/reference/src/shape/triangle.rs + mesh.rs +
@@ -9,23 +9,22 @@ watertight translate-permute-shear algorithm (triangle.rs:173-302 —
 algorithm only; the f64 edge-function fallback is omitted, f32 edge
 functions use difference_of_products compensation instead).
 
-Traversal performance model (measured on TPU v5e): an XLA row gather costs
-~5 ns/row *regardless of row width up to 128 floats*, so the design goal is
-the minimum number of gather steps per ray query.  Each while-loop step
-fetches ONE 512-byte node row:
-
-* internal rows carry BOTH child boxes, so the walk only ever lands on
-  nodes whose box is known to intersect the ray (plus cheap threaded-skip
-  landings) — the reference's ordered stack walk (aggregate.rs:71-139)
-  becomes ``next = hitL ? left : hitR ? right : skip``;
-* leaf rows carry up to 8 triangles inline (vertices + ids), so leaf
-  processing and the hit vertices are gather-free;
-* post-traversal shading attributes (uv / shading normals / material ids)
-  come from ONE packed 128-byte attribute row per hit.
+Traversal performance model (measured on TPU v5e, round 2): one
+*sequential dependent* row gather costs 0.4-1.9 ms at 131k lanes — nearly
+independent of row width up to 128 f32 — so the design goal is the
+minimum number of sequential gather steps per ray query.  The 8-wide BVH
+(ops/bvh8.py) gives ~log8 levels; each step fetches ONE 512-byte row that
+is either 8 child boxes (slab-tested as an (N, 8) tile on the VPU) or 8
+inline triangles (intersected as an (N, 8) tile).  Traversal state is a
+per-lane int32 "group" = child_base*256 + pending-hit mask plus a short
+explicit stack; the reference's ordered stack walk (aggregate.rs:71-139)
+becomes pop-lowest-bit / push-remainder.  Closest-hit and any-hit
+(shadow) lanes share one traversal via a per-lane ``want_any`` flag so a
+path-tracing bounce costs a single traversal dispatch.
 
 Integer topology fields are stored as exact small floats (< 2^24) — no bit
 casts, so NaN canonicalization or denormal flushing cannot corrupt the
-tree.
+tree (advisor r1).
 """
 
 from __future__ import annotations
@@ -34,16 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shimmer_tpu.ops.bvh import (
-    FAT_MAX_LEAF,
-    _FAT_COUNT,
-    _FAT_IDS,
-    _FAT_RIGHT,
-    _FAT_SKIP,
-    _FAT_TRI0,
-    build_bvh,
-    pack_fat_bvh,
-)
+from shimmer_tpu.ops.bvh8 import MAX_LEAF8, pack_bvh8
 from shimmer_tpu.ops.math import difference_of_products
 from shimmer_tpu.ops.sampling import (
     sample_spherical_triangle,
@@ -92,11 +82,12 @@ class TriangleSceneData:
     orig_rev: jnp.ndarray      # (T,) bool
     tri_area: jnp.ndarray      # (T,)
     # Hot-path packed tables:
-    fat_nodes: jnp.ndarray   # (B, 128) f32 — see ops/bvh.py layout
+    rows8: jnp.ndarray       # (R, 128) f32 — see ops/bvh8.py layout
     attr_rows: jnp.ndarray   # (T, 32) f32, BVH order
     light_rows: jnp.ndarray  # (T, 16) f32, original order
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
+    stack_depth: int = static_field(default=16)
     has_normals: bool = static_field(default=False)
     has_uv: bool = static_field(default=False)
     # When True, the chosen triangle is re-intersected differentiably from
@@ -107,7 +98,7 @@ class TriangleSceneData:
 
 def build_triangle_scene(
     meshes: list[dict],
-    leaf_size: int = FAT_MAX_LEAF,
+    leaf_size: int = MAX_LEAF8,
     differentiable_hits: bool = False,
 ) -> TriangleSceneData:
     """Host: concatenate meshes, build the BVH, pack the fat tables.
@@ -158,14 +149,11 @@ def build_triangle_scene(
     tri_p = p[indices]  # (T, 3, 3)
     lo = tri_p.min(axis=1)
     hi = tri_p.max(axis=1)
-    leaf_size = min(leaf_size, FAT_MAX_LEAF)
-    bvh = _build_best_bvh(lo, hi, leaf_size)
+    bvh8 = pack_bvh8(lo, hi, tri_p)
 
     # BVH-order permuted tables.
-    perm = bvh.perm
+    perm = bvh8.perm
     sorted_indices = indices[perm].astype(np.int32)
-    sorted_tri_p = tri_p[perm]  # (T, 3, 3) BVH order
-    fat_nodes = pack_fat_bvh(bvh, sorted_tri_p)
 
     e1 = tri_p[:, 1] - tri_p[:, 0]
     e2 = tri_p[:, 2] - tri_p[:, 0]
@@ -197,25 +185,16 @@ def build_triangle_scene(
         orig_indices=jnp.asarray(indices),
         orig_rev=jnp.asarray(rev),
         tri_area=jnp.asarray(area, jnp.float32),
-        fat_nodes=jnp.asarray(fat_nodes),
+        rows8=jnp.asarray(bvh8.rows),
         attr_rows=jnp.asarray(attr),
         light_rows=jnp.asarray(light_rows),
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
+        stack_depth=bvh8.max_depth,
         has_normals=any_n,
         has_uv=any_uv,
         differentiable_hits=differentiable_hits,
     )
-
-
-def _build_best_bvh(lo, hi, leaf_size):
-    """Binned-SAH C++ builder when available, numpy LBVH otherwise."""
-    try:
-        from shimmer_tpu.native.sah import build_sah_bvh
-
-        return build_sah_bvh(lo, hi, leaf_size)
-    except Exception:
-        return build_bvh(lo, hi, leaf_size)
 
 
 def _permute_to_max_z(v, kz):
@@ -297,104 +276,161 @@ def _gather_tri(tris: TriangleSceneData, tri_idx):
     return idx, p0, p1, p2
 
 
+def _popcount8(v):
+    """Popcount of a value in [0, 255] (int32 lanes, pure VPU ops)."""
+    v = v - ((v >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    return (v + (v >> 4)) & 0x0F
+
+
+# Inner fori steps per outer while iteration: the while cond's any()
+# reduction is a device sync (~0.1 ms measured), so it is amortized over
+# a chunk of unconditional steps.
+TRAVERSE_CHUNK = 8
+
+
 def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
-    """Lock-step fat-row threaded-BVH traversal.
+    """Lock-step 8-wide bitstack BVH traversal (see ops/bvh8.py).
+
+    any_hit: python bool (whole call) OR a per-lane (N,) bool array —
+    any-hit lanes terminate at their first accepted hit, so shadow rays
+    and closest-hit rays share one traversal dispatch.
 
     Returns (t, tri_idx, b0, b1, b2, tri_verts) with tri_idx = -1 for
     misses and tri_verts (..., 9) the winning triangle's vertices (from
     the leaf row, so no post-traversal vertex gather is needed).
 
-    Each step costs ONE row gather (~5 ns/row on v5e regardless of row
-    width ≤ 128 f32 — measured); all box/triangle math is VPU-parallel
-    across lanes.
+    Each step costs ONE (N, 128) row gather — the dominant cost — plus
+    VPU tile work: an (N, 8) slab test or an (N, 8) watertight triangle
+    intersect, both masked by row kind.
     """
     n = ray_o.shape[0]
-    nodes = tris.fat_nodes
-    n_nodes = nodes.shape[0]
+    rows_tab = tris.rows8
+    depth = tris.stack_depth
     inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)
+    want_any = jnp.broadcast_to(jnp.asarray(any_hit, bool), (n,))
+    lane8 = jnp.arange(MAX_LEAF8, dtype=jnp.int32)
+    stack_iota = jnp.arange(depth, dtype=jnp.int32)
+    bit_pow = (1 << lane8).astype(jnp.int32)
 
-    def slab(lo, hi, t_best, active):
-        t0 = (lo - ray_o) * inv_d
-        t1 = (hi - ray_o) * inv_d
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        # Conservative slab test (bounding_box.rs:483-553): pad t_far.
-        return (
-            (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near < t_best)
-        ) & active
+    def lane_active(group, sp, tri_best):
+        alive = ((group & 255) > 0) | (sp > 0)
+        return alive & ~(want_any & (tri_best >= 0))
 
-    def cond(state):
-        node = state[0]
-        active = node < n_nodes
-        if any_hit:
-            active = active & (state[2] < 0)
-        return jnp.any(active)
+    def step(state):
+        group, sp, stack, t_best, tri_best, b0, b1, verts = state
+        active = lane_active(group, sp, tri_best)
 
-    def body(state):
-        node, t_best, tri_best, b0, b1, b2, verts = state
-        nd = jnp.minimum(node, n_nodes - 1)
-        active = node < n_nodes
-        if any_hit:
-            active = active & (tri_best < 0)
-        row = nodes[nd]                       # ONE fat gather (N, 128)
-        count = row[:, _FAT_COUNT].astype(jnp.int32)
-        skip = row[:, _FAT_SKIP].astype(jnp.int32)
-        is_leaf = count > 0
+        # Pop when the current group has no pending bits.
+        need_pop = active & ((group & 255) == 0)
+        sp_p = sp - need_pop.astype(jnp.int32)
+        sel = stack_iota[None, :] == sp_p[:, None]
+        popped = jnp.sum(jnp.where(sel, stack, 0), axis=1)
+        group = jnp.where(need_pop, popped, group)
+        sp = sp_p
 
-        # Internal nodes: test both child boxes, descend into the first
-        # hit child (its sub-DFS ends with skip = the other child).
-        hit_l = slab(row[:, 0:3], row[:, 3:6], t_best, active & ~is_leaf)
-        hit_r = slab(row[:, 6:9], row[:, 9:12], t_best, active & ~is_leaf)
-        right = row[:, _FAT_RIGHT].astype(jnp.int32)
-        nxt = jnp.where(hit_l, nd + 1, jnp.where(hit_r, right, skip))
+        # Lowest pending bit -> row index.
+        mask = group & 255
+        t_low = mask & -mask
+        k = _popcount8(t_low - 1)
+        row_idx = (group >> 8) + k
+        group_rem = group - t_low
+        row_idx = jnp.where(active, row_idx, 0)
+        row = rows_tab[row_idx]                  # THE gather (N, 128)
 
-        # Leaf nodes: intersect up to 8 inline triangles at once.
-        trib = row[:, _FAT_TRI0 : _FAT_TRI0 + 9 * FAT_MAX_LEAF].reshape(
-            n, FAT_MAX_LEAF, 3, 3
+        count = row[:, 80].astype(jnp.int32)
+        is_leaf = active & (count > 0)
+        is_int = active & (count == 0)
+
+        # Internal: slab-test 8 child boxes as an (N, 8) tile
+        # (bounding_box.rs:483-553 semantics, conservative t_far pad).
+        ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+        ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
+        t0x = (row[:, 0:8] - ox) * ix
+        t1x = (row[:, 24:32] - ox) * ix
+        t0y = (row[:, 8:16] - oy) * iy
+        t1y = (row[:, 32:40] - oy) * iy
+        t0z = (row[:, 16:24] - oz) * iz
+        t1z = (row[:, 40:48] - oz) * iz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
         )
-        lane_k = jnp.arange(FAT_MAX_LEAF, dtype=jnp.int32)
-        in_leaf = (active & is_leaf)[:, None] & (lane_k[None, :] < count[:, None])
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit8 = (
+            (t_near <= t_far * 1.0001)
+            & (t_far > 0.0)
+            & (t_near < t_best[:, None])
+            & is_int[:, None]
+        )
+        hmask = jnp.sum(jnp.where(hit8, bit_pow[None, :], 0), axis=1)
+        child_base = row[:, 48].astype(jnp.int32)
+        child_group = (child_base << 8) | hmask
+
+        # Leaf: intersect 8 inline triangles as an (N, 8) tile.
+        p0 = jnp.stack([row[:, 0:8], row[:, 8:16], row[:, 16:24]], axis=-1)
+        p1 = jnp.stack([row[:, 24:32], row[:, 32:40], row[:, 40:48]], axis=-1)
+        p2 = jnp.stack([row[:, 48:56], row[:, 56:64], row[:, 64:72]], axis=-1)
         h, t, bb0, bb1, bb2 = intersect_triangle(
-            ray_o[:, None, :],
-            ray_d[:, None, :],
-            t_best[:, None],
-            trib[:, :, 0],
-            trib[:, :, 1],
-            trib[:, :, 2],
+            ray_o[:, None, :], ray_d[:, None, :], t_best[:, None], p0, p1, p2
         )
+        in_leaf = is_leaf[:, None] & (lane8[None, :] < count[:, None])
         t = jnp.where(h & in_leaf, t, jnp.inf)
         k_best = jnp.argmin(t, axis=-1)
-        oh = (lane_k[None, :] == k_best[:, None])
+        oh = lane8[None, :] == k_best[:, None]
         t_new = jnp.min(t, axis=-1)
         closer = t_new < t_best
         pick = lambda x: jnp.sum(jnp.where(oh, x, 0.0), axis=-1)
-        tri_ids = row[:, _FAT_IDS : _FAT_IDS + FAT_MAX_LEAF]
         t_best = jnp.where(closer, t_new, t_best)
-        tri_best = jnp.where(closer, pick(tri_ids).astype(jnp.int32), tri_best)
+        tri_best = jnp.where(
+            closer, pick(row[:, 72:80]).astype(jnp.int32), tri_best
+        )
         b0 = jnp.where(closer, pick(bb0), b0)
         b1 = jnp.where(closer, pick(bb1), b1)
-        b2 = jnp.where(closer, pick(bb2), b2)
-        verts_new = jnp.sum(
-            jnp.where(oh[:, :, None], trib.reshape(n, FAT_MAX_LEAF, 9), 0.0),
-            axis=1,
+        verts_new = jnp.concatenate(
+            [
+                jnp.sum(jnp.where(oh[:, :, None], v, 0.0), axis=1)
+                for v in (p0, p1, p2)
+            ],
+            axis=-1,
         )
         verts = jnp.where(closer[:, None], verts_new, verts)
 
-        node = jnp.where(active, jnp.where(is_leaf, skip, nxt), node)
-        return (node, t_best, tri_best, b0, b1, b2, verts)
+        # Transition: descend into hit children (pushing the sibling
+        # remainder), else continue with the remainder.
+        descend = is_int & (hmask > 0)
+        push = descend & ((group_rem & 255) > 0)
+        onehot = (stack_iota[None, :] == sp[:, None]) & push[:, None]
+        stack = jnp.where(onehot, group_rem[:, None], stack)
+        sp = sp + push.astype(jnp.int32)
+        group_next = jnp.where(descend, child_group, group_rem)
+        group = jnp.where(active, group_next, group)
+        return (group, sp, stack, t_best, tri_best, b0, b1, verts)
+
+    def cond(state):
+        return jnp.any(lane_active(state[0], state[1], state[4]))
+
+    def chunk(state):
+        return jax.lax.fori_loop(
+            0, TRAVERSE_CHUNK, lambda i, s: step(s), state
+        )
 
     state = (
-        jnp.zeros(n, jnp.int32),
+        jnp.ones(n, jnp.int32),            # group: row 0, mask=1
+        jnp.zeros(n, jnp.int32),           # sp
+        jnp.zeros((n, depth), jnp.int32),  # stack
         jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32),
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
         jnp.zeros((n, 9), jnp.float32),
     )
-    node, t_best, tri_best, b0, b1, b2, verts = jax.lax.while_loop(
-        cond, body, state
-    )
+    state = jax.lax.while_loop(cond, chunk, state)
+    _, _, _, t_best, tri_best, b0, b1, verts = state
+    b2 = jnp.where(tri_best >= 0, 1.0 - b0 - b1, 0.0)
     return t_best, tri_best, b0, b1, b2, verts
 
 
