@@ -8,8 +8,11 @@ with the full path integrator (NEE + MIS + RR) at 1280x720.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 100 (BASELINE.md: >= 100 Mrays/s/chip forward).
 
-Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 8),
-BENCH_RES ("WxH", default 1280x720).
+Stage breakdown (scene build / BVH / compile / per-wave render) goes to
+stderr.  Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 8),
+BENCH_RES ("WxH", default 1280x720), BENCH_BLOCK (lanes per dispatch,
+default 2^16), BENCH_PROFILE (directory -> capture a jax.profiler trace
+of one wave).
 """
 
 from __future__ import annotations
@@ -20,6 +23,12 @@ import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def make_displaced_sphere(n_tris_target: int, seed: int = 0):
@@ -108,7 +117,10 @@ def build_bench_scene(n_tris: int):
     film = RgbFilm((w, h), BoxFilter(), PixelSensor(cs), cs)
     r2w = cam.camera_transform.render_from_world()
 
+    t0 = time.time()
     verts, faces = make_displaced_sphere(n_tris)
+    log(f"geometry gen: {time.time()-t0:.1f}s ({faces.shape[0]} tris)")
+    t0 = time.time()
     mesh = TriangleMesh(r2w, faces, verts)
     floor = quad_mesh(
         r2w, [-8, -1.3, -8], [8, -1.3, -8], [8, -1.3, 8], [-8, -1.3, 8]
@@ -122,8 +134,15 @@ def build_bench_scene(n_tris: int):
         floor.as_scene_dict(1),
         lightq.as_scene_dict(2, area_light_id=np.array([0, 1], np.int32)),
     ]
+    log(f"mesh transform: {time.time()-t0:.1f}s")
+    t0 = time.time()
     tris = build_triangle_scene(meshes)
+    log(
+        f"BVH8 build+pack: {time.time()-t0:.1f}s "
+        f"({tris.rows8.shape[0]} rows, stack depth {tris.stack_depth})"
+    )
     n_tri_total = int(np.asarray(tris.orig_indices).shape[0])
+    t0 = time.time()
     scene = build_scene(
         triangles=tris,
         materials=[
@@ -151,6 +170,7 @@ def build_bench_scene(n_tris: int):
         ],
         render_from_world=r2w,
     )
+    log(f"scene tables: {time.time()-t0:.1f}s")
     return scene, cam, film, n_tri_total
 
 
@@ -171,7 +191,11 @@ def main():
     import jax.numpy as jnp
 
     from shimmer_tpu.integrators.path import li_path
-    from shimmer_tpu.render import make_scan_wave_renderer, pixel_blocks
+    from shimmer_tpu.render import (
+        make_wave_renderer,
+        make_wavefront_renderer,
+        pixel_blocks,
+    )
     from shimmer_tpu.samplers import ZSobolSampler
     from shimmer_tpu.film.filters import get_camera_sample
 
@@ -180,26 +204,28 @@ def main():
     wave_spp = int(os.environ.get("BENCH_WAVE_SPP", "4"))
     max_depth = 5
 
-    t0 = time.time()
     scene, cam, film, n_tri_total = build_bench_scene(n_tris)
     w, h = film.resolution
     sampler = ZSobolSampler(spp, (w, h))
-    build_s = time.time() - t0
-    print(
-        f"# scene: {n_tri_total} tris, {w}x{h}, spp={spp}, depth={max_depth}, "
-        f"build {build_s:.1f}s, device={jax.devices()[0].platform}",
-        file=sys.stderr,
+    log(
+        f"scene ready: {n_tri_total} tris, {w}x{h}, spp={spp}, "
+        f"depth={max_depth}, device={jax.devices()[0].platform}"
     )
 
-    block = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
-    wave_fn = make_scan_wave_renderer(
-        scene, cam, film, sampler, "path", max_depth=max_depth
-    )
+    block = int(os.environ.get("BENCH_BLOCK", str(1 << 16)))
+    if os.environ.get("BENCH_MEGAKERNEL"):
+        wave_fn = make_wave_renderer(
+            scene, cam, film, sampler, "path", max_depth=max_depth
+        )
+    else:
+        wave_fn = make_wavefront_renderer(
+            scene, cam, film, sampler, max_depth=max_depth
+        )
     blocks, valids = pixel_blocks(film, block)
     n_blocks = blocks.shape[0]
 
-    # Ray-count instrumentation: 1 spp on ONE block, scaled by the valid
-    # pixel fraction (blocks are spatially interleaved enough at 2^17).
+    # Ray-count instrumentation: 1 spp on ONE block; only valid lanes
+    # carry work (alive_mask), so padded lanes don't inflate the count.
     @jax.jit
     def count_rays(sample_index, pixel_xy, pixel_valid):
         s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
@@ -210,38 +236,54 @@ def main():
         p_film, wt, _ = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
         ray = cam.generate_ray(p_film, u_l)
         _, stats = li_path(
-            scene, ray, swl, sampler, s_state, max_depth, return_stats=True
+            scene, ray, swl, sampler, s_state, max_depth,
+            return_stats=True, alive_mask=pixel_valid,
         )
         return stats["rays"]
 
-    frac = float(np.asarray(valids[0]).sum()) / float(np.asarray(valids).sum())
-    rays_per_sample = float(
-        count_rays(jnp.uint32(0), blocks[0], valids[0])
-    ) / max(frac, 1e-9)
-    print(
-        f"# rays per 1spp wave (est): {rays_per_sample/1e6:.2f}M "
-        f"({rays_per_sample/(w*h):.2f} rays/pixel)",
-        file=sys.stderr,
+    t0 = time.time()
+    rays_block0 = float(count_rays(jnp.uint32(0), blocks[0], valids[0]))
+    valid0 = float(np.asarray(valids[0]).sum())
+    rays_per_sample = rays_block0 / max(valid0, 1.0) * (w * h)
+    log(
+        f"ray-count probe: {time.time()-t0:.1f}s — "
+        f"{rays_per_sample/1e6:.2f}M rays/spp "
+        f"({rays_per_sample/(w*h):.2f} rays/pixel)"
     )
 
-    # Warmup (compile) then timed waves.  One device call per wave.
+    # Warmup (compile) then timed waves.  One device dispatch per
+    # (block, wave): bounded program size — the round-1 whole-wave scan
+    # program hit device timeouts.
     state = film.init_state()
+    idx0 = jnp.arange(wave_spp, dtype=jnp.uint32)
     t0 = time.time()
-    state = wave_fn(state, jnp.arange(wave_spp, dtype=jnp.uint32), blocks, valids)
+    state = wave_fn(state, idx0, blocks[0], valids[0])
     jax.block_until_ready(state)
-    compile_s = time.time() - t0
-    print(f"# wave compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    log(f"wave compile+first block: {time.time()-t0:.1f}s")
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state = wave_fn(state, idx0, blocks[1 % n_blocks], valids[1 % n_blocks])
+            jax.block_until_ready(state)
+        log(f"profiler trace written to {profile_dir}")
 
     timed_spp = 0
+    done = 0
     t0 = time.time()
-    done = wave_spp
+    first_wave_s = None
     while done < spp:
         n = min(wave_spp, spp - done)
         idx = jnp.arange(done, done + n, dtype=jnp.uint32)
-        state = wave_fn(state, idx, blocks, valids)
+        tw = time.time()
+        for b in range(n_blocks):
+            state = wave_fn(state, idx, blocks[b], valids[b])
+        jax.block_until_ready(state)
+        if first_wave_s is None:
+            first_wave_s = time.time() - tw
+            log(f"wave of {n} spp x {n_blocks} blocks: {first_wave_s:.2f}s")
         done += n
         timed_spp += n
-    jax.block_until_ready(state)
     render_s = time.time() - t0
     total_rays = rays_per_sample * timed_spp
     mrays = total_rays / render_s / 1e6
@@ -249,10 +291,7 @@ def main():
     img = film.get_image(state)
     mean = float(jnp.mean(img))
     assert np.isfinite(mean) and mean > 0, "bench render produced bad image"
-    print(
-        f"# {timed_spp} timed spp in {render_s:.2f}s, image mean {mean:.4f}",
-        file=sys.stderr,
-    )
+    log(f"{timed_spp} spp in {render_s:.2f}s, image mean {mean:.4f}")
 
     print(
         json.dumps(

@@ -124,11 +124,14 @@ def _tri_pdf(scene):
     )
 
 
-def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
-    """Next-event estimation with light-side MIS
+def sample_ld_prepare(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
+    """Next-event estimation with light-side MIS, *deferred visibility*
     (PathIntegrator::sample_ld, integrator.rs:897-963).
 
-    Returns (contribution (...,4), new sampler state)."""
+    Returns (unshadowed contribution (...,4), shadow (o, d, t_max, usable),
+    new sampler state).  The caller traces the shadow segment — merged
+    with the bounce's extension rays into one traversal — and keeps the
+    contribution only where unoccluded."""
     uc, s_state = sampler.get_1d(s_state)
     u2, s_state = sampler.get_2d(s_state)
     light_idx, pmf, _ = sample_light(scene, uc)
@@ -156,7 +159,6 @@ def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
         **bsdf_ctx,
     ) * abs_dot(ls.wi, si.ns)[..., None]
     usable = ls.valid & (ls.pdf > 0.0) & ~ss_is_black(f)
-    visible = _unoccluded(scene, si.p, si.n, ls.p_light, ls.n_light)
     p_l = pmf * ls.pdf
     p_b = bsdf_pdf(
         scene.materials,
@@ -172,10 +174,31 @@ def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
     w_l = jnp.where(
         ls.is_delta, 1.0, power_heuristic(1.0, p_l, 1.0, p_b)
     ) / jnp.maximum(p_l, 1e-20)
-    contrib = jnp.where(
-        (usable & visible)[..., None], f * ls.l * w_l[..., None], 0.0
+    contrib = jnp.where(usable[..., None], f * ls.l * w_l[..., None], 0.0)
+
+    # Shadow segment between offset points (IntegratorBase::unoccluded,
+    # integrator.rs:109-117).
+    d = ls.p_light - si.p
+    sh_o = offset_ray_origin(si.p, si.n, d)
+    target = jnp.where(
+        jnp.any(ls.n_light != 0.0, axis=-1, keepdims=True),
+        offset_ray_origin(ls.p_light, ls.n_light, -d),
+        ls.p_light,
     )
-    return contrib, s_state
+    sh_d = target - sh_o
+    sh_tmax = jnp.full(usable.shape, 1.0 - 1e-3, jnp.float32)
+    return contrib, (sh_o, sh_d, sh_tmax, usable), s_state
+
+
+def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
+    """NEE with immediate visibility (kept for the validation
+    integrators); production li_path uses sample_ld_prepare + the merged
+    traversal."""
+    contrib, (sh_o, sh_d, sh_tmax, usable), s_state = sample_ld_prepare(
+        scene, si, frame, swl, sampler, s_state, bsdf_ctx
+    )
+    occ = scene_intersect_predicate(scene, sh_o, sh_d, sh_tmax)
+    return jnp.where((usable & ~occ)[..., None], contrib, 0.0), s_state
 
 
 def li_path(
@@ -198,8 +221,14 @@ def li_path(
     closest-hit + shadow-ray count used for Mrays/s benchmarks).
     alive_mask: optional (N,) bool — lanes that carry real work (padded
     lanes excluded from both tracing results and ray statistics).
+
+    Per bounce the extension rays AND the NEE shadow rays go through ONE
+    merged 2N-lane traversal (want_any flags) — sequential traversal
+    dispatches are the dominant TPU cost, and shadow lanes terminate at
+    their first hit so they rarely extend the lock-step walk.
     """
     n = ray.o.shape[:-1]
+    flat = n[0] if n else 1
     l = jnp.zeros(n + (4,), jnp.float32)
     beta = jnp.ones(n + (4,), jnp.float32)
     alive = jnp.ones(n, bool) if alive_mask is None else jnp.asarray(alive_mask)
@@ -212,9 +241,22 @@ def li_path(
     rays_traced = jnp.zeros((), jnp.float32)
     ray_o, ray_d = ray.o, ray.d
 
+    import dataclasses as _dc
+
+    def _slice_si(si_all, lo, hi):
+        return type(si_all)(
+            **{
+                f.name: getattr(si_all, f.name)[lo:hi]
+                for f in _dc.fields(si_all)
+            }
+        )
+
+    # Camera-ray trace (depth 0).  Dead lanes get t_max = -inf: every slab
+    # test fails, so they cost zero traversal steps.
+    rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+    si = scene_intersect(scene, ray_o, ray_d, jnp.where(alive, INF, -INF))
+
     for depth in range(max_depth + 1):
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        si = scene_intersect(scene, ray_o, ray_d, jnp.full(n, INF))
         miss = alive & ~si.valid
         l = _infinite_le_with_mis(
             scene, ray_d, swl, beta, p_b, specular, prev_p, prev_ns, l, miss
@@ -239,10 +281,14 @@ def li_path(
             bsdf_ctx["tex"] = dict(bsdf_ctx.get("tex") or {})
             bsdf_ctx["tex"]["regularize"] = any_non_specular
 
-        # --- NEE (one shadow ray per alive lane) ---
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        ld, s_state = sample_ld(scene, si, frame, swl, sampler, s_state, bsdf_ctx)
-        l = l + jnp.where(alive[..., None], beta * ld, 0.0)
+        # --- NEE: light sample + deferred shadow segment ---
+        beta_nee = beta
+        alive_nee = alive
+        ld, (sh_o, sh_d, sh_tmax, sh_usable), s_state = sample_ld_prepare(
+            scene, si, frame, swl, sampler, s_state, bsdf_ctx
+        )
+        sh_live = alive_nee & sh_usable
+        rays_traced = rays_traced + jnp.sum(sh_live.astype(jnp.float32))
 
         # --- BSDF sampling ---
         u2, s_state = sampler.get_2d(s_state)
@@ -303,6 +349,24 @@ def li_path(
                 alive[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
             )
             alive = alive & ~kill
+
+        # --- merged traversal: extension (closest) + shadow (any-hit) ---
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+        mo = jnp.concatenate([ray_o, sh_o], axis=0)
+        md = jnp.concatenate([ray_d, sh_d], axis=0)
+        mt = jnp.concatenate(
+            [jnp.where(alive, INF, -INF), jnp.where(sh_live, sh_tmax, -INF)],
+            axis=0,
+        )
+        wa = jnp.concatenate(
+            [jnp.zeros(n, bool), jnp.ones(n, bool)], axis=0
+        )
+        si_all = scene_intersect(scene, mo, md, mt, want_any=wa)
+        occluded = si_all.valid[flat:]
+        si = _slice_si(si_all, 0, flat)
+        l = l + jnp.where(
+            (sh_live & ~occluded)[..., None], beta_nee * ld, 0.0
+        )
 
     if return_stats:
         return l, {"rays": rays_traced}

@@ -1,0 +1,376 @@
+"""Wavefront path tracer with ray regeneration — the production TPU
+render loop.
+
+The reference plans but never implements a wavefront integrator
+(/root/reference/src/main.rs:152-155 ``--wavefront`` todo!,
+src/material.rs:1354-1360); SURVEY.md §7 names it the core architecture.
+This module is that design, shaped by the measured TPU cost model: the
+dominant cost is the *sequential dependent row gather* inside BVH
+traversal, paid by every lane whether alive or dead.  A masked megakernel
+(integrators/path.py::li_path) runs ``spp x (max_depth+1)`` full-width
+traversals even though the average path dies after ~1-2 bounces —
+occupancy ~10-20%.
+
+Here a fixed pool of N lanes is kept full: each outer iteration
+
+1. traces ONE merged dispatch — every lane's extension ray (closest-hit)
+   and every lane's pending NEE shadow ray (any-hit) as 2N lanes;
+2. resolves the shadow contribution, adds MIS-weighted emission for hits
+   and escapes, and shades (NEE prepare + BSDF sample + Russian
+   roulette), exactly mirroring li_path's estimator and *sampler
+   dimension order* — images agree with li_path up to accumulation
+   order;
+3. scatter-adds finished paths into the film;
+4. regenerates free lanes with fresh camera rays pulled from the
+   (pixel, sample) work pool via a prefix-sum ticket.
+
+Sequential traversal dispatches per wave drop from
+``spp * (depth+1) * 2`` to ``~spp * avg_path_length``, a 4-10x win on
+typical scenes.  The loop is a lax.while_loop and therefore not
+reverse-differentiable; the differentiable path keeps li_path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from shimmer_tpu.film.filters import get_camera_sample
+from shimmer_tpu.integrators.path import (
+    INF,
+    _area_le_with_mis,
+    _bsdf_ctx,
+    _infinite_le_with_mis,
+    _prepare_hit,
+    _resolve_mix,
+    _with_rng_key,
+    sample_ld_prepare,
+)
+from shimmer_tpu.materials.material import bsdf_pdf, bsdf_sample
+from shimmer_tpu.ops.ray import offset_ray_origin
+from shimmer_tpu.ops.vecmath import abs_dot
+from shimmer_tpu.samplers import SamplerState
+from shimmer_tpu.scene import Scene, scene_intersect
+from shimmer_tpu.spectra.sampled import SampledWavelengths, ss_is_black
+from shimmer_tpu.utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class _WaveState:
+    # lane occupancy
+    busy: jnp.ndarray        # (N,) bool — lane carries an in-flight path
+    alive: jnp.ndarray       # (N,) bool — extension ray pending
+    pend_sh: jnp.ndarray     # (N,) bool — shadow ray pending
+    depth: jnp.ndarray       # (N,) int32 — bounces shaded so far
+    # rays
+    ray_o: jnp.ndarray       # (N, 3)
+    ray_d: jnp.ndarray       # (N, 3)
+    sh_o: jnp.ndarray        # (N, 3)
+    sh_d: jnp.ndarray        # (N, 3)
+    sh_tmax: jnp.ndarray     # (N,)
+    ld: jnp.ndarray          # (N, 4) pending NEE contribution (beta-scaled)
+    # path integrator state (mirrors li_path)
+    l: jnp.ndarray           # (N, 4)
+    beta: jnp.ndarray        # (N, 4)
+    p_b: jnp.ndarray         # (N,)
+    eta_scale: jnp.ndarray   # (N,)
+    specular: jnp.ndarray    # (N,) bool
+    any_ns: jnp.ndarray      # (N,) bool
+    prev_p: jnp.ndarray      # (N, 3)
+    prev_ns: jnp.ndarray     # (N, 3)
+    # per-path bookkeeping
+    lam: jnp.ndarray         # (N, 4)
+    lam_pdf: jnp.ndarray     # (N, 4)
+    s_ph: jnp.ndarray        # (N,) uint32 sampler pixel hash / morton
+    s_si: jnp.ndarray        # (N,) uint32 sampler sample index
+    s_dim: jnp.ndarray       # (N,) uint32 sampler dimension
+    pixel_xy: jnp.ndarray    # (N, 2) int32
+    weight: jnp.ndarray      # (N,) filter weight
+    # pool + film + stats
+    pool_next: jnp.ndarray   # () int32
+    film_rgb: jnp.ndarray    # (H, W, 3)
+    film_w: jnp.ndarray      # (H, W)
+    rays: jnp.ndarray        # () f32
+
+
+def _where_merge(cond, new, old):
+    c = cond
+    if new.ndim > cond.ndim:
+        c = cond.reshape(cond.shape + (1,) * (new.ndim - cond.ndim))
+    return jnp.where(c, new, old)
+
+
+def render_wave_wavefront(
+    scene: Scene,
+    camera,
+    film,
+    sampler,
+    film_state,
+    sample_indices,
+    pixel_xy,
+    pixel_valid,
+    max_depth: int = 5,
+    regularize: bool = False,
+    pixel_spread: float = 0.0,
+    use_visible_wavelengths: bool = True,
+    return_stats: bool = False,
+):
+    """Render every (pixel in block) x (sample index) pair with a
+    regenerating wavefront.  Returns the updated FilmState (and a stats
+    dict when return_stats)."""
+    n = pixel_xy.shape[0]
+    n_samples = int(sample_indices.shape[0])
+    pool_total = n * n_samples
+    sample_indices = jnp.asarray(sample_indices, jnp.uint32)
+    pixel_valid = (
+        jnp.ones(n, bool) if pixel_valid is None else jnp.asarray(pixel_valid)
+    )
+
+    def regen(st: _WaveState) -> _WaveState:
+        free = ~st.busy
+        navail = pool_total - st.pool_next
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        take = free & (rank < navail)
+        item = jnp.clip(st.pool_next + rank, 0, pool_total - 1)
+        p_idx = item % n
+        s_idx = item // n
+        px = pixel_xy[p_idx]                       # (N, 2)
+        samp = sample_indices[s_idx]               # (N,)
+        valid = pixel_valid[p_idx]
+
+        s_state = sampler.start_pixel_sample(px, samp)
+        u_lam, s_state = sampler.get_1d(s_state)
+        if use_visible_wavelengths:
+            swl = film.sample_wavelengths(u_lam)
+        else:
+            swl = SampledWavelengths.sample_uniform(u_lam)
+        u_f, s_state = sampler.get_pixel_2d(s_state)
+        u_l, s_state = sampler.get_2d(s_state)
+        p_film, w, u_l = get_camera_sample(film.filter, px, u_f, u_l)
+        ray = camera.generate_ray(p_film, u_l)
+
+        m = lambda new, old: _where_merge(take, new, old)
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+        return dataclasses.replace(
+            st,
+            busy=st.busy | take,
+            alive=jnp.where(take, valid, st.alive),
+            pend_sh=jnp.where(take, False, st.pend_sh),
+            depth=m(jnp.zeros(n, jnp.int32), st.depth),
+            ray_o=m(ray.o, st.ray_o),
+            ray_d=m(ray.d, st.ray_d),
+            ld=m(jnp.zeros((n, 4)), st.ld),
+            l=m(jnp.zeros((n, 4)), st.l),
+            beta=m(jnp.ones((n, 4)), st.beta),
+            p_b=m(jnp.ones(n), st.p_b),
+            eta_scale=m(jnp.ones(n), st.eta_scale),
+            specular=st.specular | take,
+            any_ns=jnp.where(take, False, st.any_ns),
+            prev_p=m(ray.o, st.prev_p),
+            prev_ns=m(zero3, st.prev_ns),
+            lam=m(swl.lam, st.lam),
+            lam_pdf=m(swl.pdf, st.lam_pdf),
+            s_ph=m(s_state.pixel_hash, st.s_ph),
+            s_si=m(s_state.sample_index, st.s_si),
+            s_dim=m(s_state.dim, st.s_dim),
+            pixel_xy=m(px.astype(jnp.int32), st.pixel_xy),
+            weight=m(jnp.where(valid, w, 0.0), st.weight),
+            pool_next=st.pool_next
+            + jnp.minimum(jnp.sum(free.astype(jnp.int32)), navail),
+        )
+
+    def body(st: _WaveState) -> _WaveState:
+        swl = SampledWavelengths(lam=st.lam, pdf=st.lam_pdf)
+        s_state = SamplerState(
+            pixel_hash=st.s_ph, sample_index=st.s_si, dim=st.s_dim
+        )
+
+        # --- 1. merged trace: extension (closest) + shadow (any-hit) ---
+        rays = st.rays + jnp.sum(st.alive.astype(jnp.float32)) + jnp.sum(
+            st.pend_sh.astype(jnp.float32)
+        )
+        mo = jnp.concatenate([st.ray_o, st.sh_o], axis=0)
+        md = jnp.concatenate([st.ray_d, st.sh_d], axis=0)
+        mt = jnp.concatenate(
+            [
+                jnp.where(st.alive, INF, -INF),
+                jnp.where(st.pend_sh, st.sh_tmax, -INF),
+            ],
+            axis=0,
+        )
+        wa = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)], axis=0)
+        si_all = scene_intersect(scene, mo, md, mt, want_any=wa)
+        occluded = si_all.valid[n:]
+        si = type(si_all)(
+            **{
+                f.name: getattr(si_all, f.name)[:n]
+                for f in dataclasses.fields(si_all)
+            }
+        )
+
+        # --- 2. shadow resolution + emission + shading ---
+        l = st.l + jnp.where(
+            (st.pend_sh & ~occluded)[..., None], st.ld, 0.0
+        )
+        alive = st.alive
+        miss = alive & ~si.valid
+        l = _infinite_le_with_mis(
+            scene, st.ray_d, swl, st.beta, st.p_b, st.specular,
+            st.prev_p, st.prev_ns, l, miss,
+        )
+        l = _area_le_with_mis(
+            scene, si, swl, st.beta, st.p_b, st.specular,
+            st.prev_p, st.prev_ns, l, alive,
+        )
+        alive = alive & si.valid
+        will_shade = alive & (st.depth < max_depth)
+
+        si = _prepare_hit(scene, si, st.ray_d, pixel_spread)
+        si, s_state = _resolve_mix(scene, si, sampler, s_state)
+        frame = si.shading_frame()
+        bsdf_ctx = _bsdf_ctx(scene, si, swl)
+        bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
+        if regularize:
+            bsdf_ctx = dict(bsdf_ctx)
+            bsdf_ctx["tex"] = dict(bsdf_ctx.get("tex") or {})
+            bsdf_ctx["tex"]["regularize"] = st.any_ns
+
+        beta_nee = st.beta
+        ld_new, (sh_o, sh_d, sh_tmax, sh_usable), s_state = sample_ld_prepare(
+            scene, si, frame, swl, sampler, s_state, bsdf_ctx
+        )
+        pend_sh = will_shade & sh_usable
+
+        u2, s_state = sampler.get_2d(s_state)
+        uc, s_state = sampler.get_1d(s_state)
+        bs = bsdf_sample(
+            scene.materials, scene.material_kinds, si.material_id,
+            frame, si.ns, si.wo, u2, uc, swl, **bsdf_ctx,
+        )
+        cos_f = abs_dot(bs.wi, si.ns)
+        step = jnp.where(
+            (bs.pdf > 0.0)[..., None],
+            bs.f * (cos_f / jnp.maximum(bs.pdf, 1e-20))[..., None],
+            0.0,
+        )
+        beta = jnp.where(will_shade[..., None], st.beta * step, st.beta)
+        p_b_new = jnp.where(
+            bs.pdf_is_proportional,
+            bsdf_pdf(
+                scene.materials, scene.material_kinds, si.material_id,
+                frame, si.ns, si.wo, bs.wi, swl, **bsdf_ctx,
+            ),
+            bs.pdf,
+        )
+        p_b = jnp.where(will_shade, p_b_new, st.p_b)
+        specular = jnp.where(will_shade, bs.is_specular(), st.specular)
+        any_ns = st.any_ns | (will_shade & ~bs.is_specular())
+        eta_scale = jnp.where(
+            will_shade, st.eta_scale * bs.eta * bs.eta, st.eta_scale
+        )
+        prev_p = _where_merge(will_shade, si.p, st.prev_p)
+        prev_ns = _where_merge(will_shade, si.ns, st.prev_ns)
+        new_o = offset_ray_origin(si.p, si.n, bs.wi)
+        ray_o = _where_merge(will_shade, new_o, st.ray_o)
+        ray_d = _where_merge(will_shade, bs.wi, st.ray_d)
+        alive = will_shade & bs.valid & ~ss_is_black(beta)
+
+        # Russian roulette on beta * eta_scale (integrator.rs:877-891),
+        # applied past the first bounce (per-lane depth here).
+        u_rr, s_state = sampler.get_1d(s_state)
+        past_first = will_shade & (st.depth > 0)
+        rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
+        q = jnp.maximum(0.0, 1.0 - rr_beta)
+        kill = past_first & alive & (u_rr < q)
+        beta = jnp.where(
+            (past_first & alive)[..., None],
+            beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+            beta,
+        )
+        alive = alive & ~kill
+        depth = st.depth + will_shade.astype(jnp.int32)
+
+        # --- 3. film scatter for completed paths ---
+        done = st.busy & ~alive & ~pend_sh
+        fw = jnp.where(done, st.weight, 0.0)
+        fs = film.add_samples(
+            type(film_state)(
+                rgb_sum=st.film_rgb,
+                weight_sum=st.film_w,
+                rgb_splat=film_state.rgb_splat,
+            ),
+            st.pixel_xy,
+            l,
+            swl,
+            fw,
+        )
+        busy = st.busy & ~done
+
+        st = dataclasses.replace(
+            st,
+            busy=busy, alive=alive, pend_sh=pend_sh, depth=depth,
+            ray_o=ray_o, ray_d=ray_d,
+            sh_o=_where_merge(pend_sh, sh_o, st.sh_o),
+            sh_d=_where_merge(pend_sh, sh_d, st.sh_d),
+            sh_tmax=jnp.where(pend_sh, sh_tmax, st.sh_tmax),
+            ld=_where_merge(pend_sh, beta_nee * ld_new, st.ld),
+            l=l, beta=beta, p_b=p_b, eta_scale=eta_scale,
+            specular=specular, any_ns=any_ns,
+            prev_p=prev_p, prev_ns=prev_ns,
+            s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
+            s_dim=s_state.dim,
+            film_rgb=fs.rgb_sum, film_w=fs.weight_sum, rays=rays,
+        )
+        # --- 4. regenerate free lanes ---
+        return regen(st)
+
+    def cond(st: _WaveState) -> jnp.ndarray:
+        return jnp.any(st.busy)
+
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    zero4 = jnp.zeros((n, 4), jnp.float32)
+    st0 = _WaveState(
+        busy=jnp.zeros(n, bool),
+        alive=jnp.zeros(n, bool),
+        pend_sh=jnp.zeros(n, bool),
+        depth=jnp.zeros(n, jnp.int32),
+        ray_o=zero3,
+        ray_d=jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3)
+        ),
+        sh_o=zero3,
+        sh_d=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3)),
+        sh_tmax=jnp.ones(n, jnp.float32),
+        ld=zero4,
+        l=zero4,
+        beta=jnp.ones((n, 4), jnp.float32),
+        p_b=jnp.ones(n, jnp.float32),
+        eta_scale=jnp.ones(n, jnp.float32),
+        specular=jnp.ones(n, bool),
+        any_ns=jnp.zeros(n, bool),
+        prev_p=zero3,
+        prev_ns=zero3,
+        lam=jnp.full((n, 4), 550.0, jnp.float32),
+        lam_pdf=jnp.ones((n, 4), jnp.float32),
+        s_ph=jnp.zeros(n, jnp.uint32),
+        s_si=jnp.zeros(n, jnp.uint32),
+        s_dim=jnp.zeros(n, jnp.uint32),
+        pixel_xy=jnp.zeros((n, 2), jnp.int32),
+        weight=jnp.zeros(n, jnp.float32),
+        pool_next=jnp.zeros((), jnp.int32),
+        film_rgb=film_state.rgb_sum,
+        film_w=film_state.weight_sum,
+        rays=jnp.zeros((), jnp.float32),
+    )
+    st0 = regen(st0)
+    st = jax.lax.while_loop(cond, body, st0)
+    fs = type(film_state)(
+        rgb_sum=st.film_rgb,
+        weight_sum=st.film_w,
+        rgb_splat=film_state.rgb_splat,
+    )
+    if return_stats:
+        return fs, {"rays": st.rays}
+    return fs

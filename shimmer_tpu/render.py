@@ -181,6 +181,45 @@ def make_scan_wave_renderer(
     return jax.jit(render_wave)
 
 
+def make_wavefront_renderer(
+    scene: Scene,
+    camera,
+    film: RgbFilm,
+    sampler,
+    max_depth: int = 5,
+    regularize: bool = False,
+    use_visible_wavelengths: bool = True,
+):
+    """Jitted regenerating-wavefront wave function (the production path;
+    see integrators/wavefront.py).  Signature matches make_wave_renderer:
+    (film_state, sample_indices, pixel_xy, pixel_valid) -> film_state."""
+    from shimmer_tpu.integrators.wavefront import render_wave_wavefront
+
+    spread = getattr(camera, "pixel_spread", 0.0)
+    if spread:
+        spread = spread * max(
+            0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
+        )
+
+    def render_samples(film_state, sample_indices, pixel_xy, pixel_valid):
+        return render_wave_wavefront(
+            scene,
+            camera,
+            film,
+            sampler,
+            film_state,
+            sample_indices,
+            pixel_xy,
+            pixel_valid,
+            max_depth=max_depth,
+            regularize=regularize,
+            pixel_spread=spread,
+            use_visible_wavelengths=use_visible_wavelengths,
+        )
+
+    return jax.jit(render_samples)
+
+
 DEFAULT_PIXEL_BLOCK = 1 << 15
 
 

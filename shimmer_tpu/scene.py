@@ -44,16 +44,23 @@ class Scene:
     has_bump_maps: bool = static_field(default=False)
 
 
-def scene_intersect(scene: Scene, ray_o, ray_d, t_max):
+def scene_intersect(scene: Scene, ray_o, ray_d, t_max, want_any=False):
     """Closest-hit intersection against all scene geometry
-    (IntegratorBase::intersect → BvhAggregate::intersect analog)."""
+    (IntegratorBase::intersect → BvhAggregate::intersect analog).
+
+    want_any: per-lane bool — lanes flagged True terminate at their first
+    accepted hit (only ``valid`` is meaningful for them).  This lets a
+    path bounce trace its extension rays and its NEE shadow rays in ONE
+    traversal dispatch (the dominant sequential cost on TPU)."""
     si = None
     if scene.has_spheres:
         si = sphere_intersect(scene.spheres, ray_o, ray_d, t_max)
     if scene.has_triangles:
         from shimmer_tpu.shapes.triangle import triangle_scene_intersect
 
-        si_t = triangle_scene_intersect(scene.triangles, ray_o, ray_d, t_max)
+        si_t = triangle_scene_intersect(
+            scene.triangles, ray_o, ray_d, t_max, want_any=want_any
+        )
         si = si_t if si is None else _closer(si, si_t)
     assert si is not None, "scene has no geometry"
     return si

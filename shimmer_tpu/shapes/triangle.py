@@ -435,10 +435,12 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
 
 
 def triangle_scene_intersect(
-    tris: TriangleSceneData, ray_o, ray_d, t_max
+    tris: TriangleSceneData, ray_o, ray_d, t_max, want_any=False
 ) -> SurfaceInteraction:
     """Closest-hit + interaction construction
-    (triangle.rs:305-504 interaction_from_intersection)."""
+    (triangle.rs:305-504 interaction_from_intersection).
+
+    want_any: per-lane any-hit flags (see scene.scene_intersect)."""
     # Traversal runs on detached rays (lax.while_loop is not reverse-mode
     # differentiable, and hit *topology* is discrete anyway).
     t, tri, b0, b1, b2, verts = _traverse(
@@ -446,7 +448,7 @@ def triangle_scene_intersect(
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
         jax.lax.stop_gradient(t_max),
-        any_hit=False,
+        any_hit=want_any,
     )
     valid = tri >= 0
     tri_c = jnp.maximum(tri, 0)
