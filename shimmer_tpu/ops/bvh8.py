@@ -115,12 +115,22 @@ def _collapse8(h, leaf_size=MAX_LEAF8):
     return wide_children, wide_binary
 
 
-def build_bvh8(lo: np.ndarray, hi: np.ndarray) -> BVH8Arrays:
+def build_bvh8(lo: np.ndarray, hi: np.ndarray, builder: str = "auto") -> BVH8Arrays:
     """Build the wide-node structure over per-triangle AABBs.
 
-    Triangle payloads are packed later (pack_bvh8 needs sorted verts).
+    builder: "auto" (binned-SAH C++ when available, LBVH fallback),
+    "sah", or "lbvh".  Triangle payloads are packed later (pack_bvh8
+    needs sorted verts).
     """
-    h = binary_hierarchy(lo, hi, MAX_LEAF8)
+    h = None
+    if builder in ("auto", "sah"):
+        from shimmer_tpu.native import build_sah_hierarchy
+
+        h = build_sah_hierarchy(lo, hi, leaf_size=MAX_LEAF8)
+        if h is None and builder == "sah":
+            raise RuntimeError("native SAH builder unavailable")
+    if h is None:
+        h = binary_hierarchy(lo, hi, MAX_LEAF8)
     children, wide_binary = _collapse8(h)
     return _layout8(h, children, wide_binary)
 
@@ -186,13 +196,13 @@ def _layout8(h, children, wide_binary):
     ), leaf_rows
 
 
-def pack_bvh8(lo, hi, tri_p) -> BVH8Arrays:
+def pack_bvh8(lo, hi, tri_p, builder: str = "auto") -> BVH8Arrays:
     """Full build: hierarchy + collapse + pack triangle leaf rows.
 
     tri_p: (T, 3, 3) triangle vertices in ORIGINAL order; leaf rows store
-    them in Morton-sorted (perm) order, ids are sorted-order indices.
+    them in BVH (perm) order, ids are perm-order indices.
     """
-    arrs, leaf_rows = build_bvh8(lo, hi)
+    arrs, leaf_rows = build_bvh8(lo, hi, builder=builder)
     rows, perm = arrs.rows, arrs.perm
     tri_sorted = np.asarray(tri_p, np.float32)[perm]  # (T, 3, 3)
     t_total = tri_sorted.shape[0]
