@@ -12,6 +12,7 @@ differentiable path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from shimmer_tpu.lights import lights as lt
@@ -343,7 +344,11 @@ def li_path(
         u_rr, s_state = sampler.get_1d(s_state)
         if depth > 0:
             rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
-            q = jnp.maximum(0.0, 1.0 - rr_beta)
+            # stop_gradient: the RR survival probability is part of the
+            # sampling measure, not the integrand — detaching it keeps the
+            # AD estimator unbiased (the kill indicator's θ-dependence and
+            # the 1/(1-q) weight's θ-dependence cancel only in expectation).
+            q = jax.lax.stop_gradient(jnp.maximum(0.0, 1.0 - rr_beta))
             kill = alive & (u_rr < q)
             beta = jnp.where(
                 alive[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta

@@ -282,7 +282,8 @@ def render_wave_wavefront(
         u_rr, s_state = sampler.get_1d(s_state)
         past_first = will_shade & (st.depth > 0)
         rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
-        q = jnp.maximum(0.0, 1.0 - rr_beta)
+        # Detached survival probability — see li_path's RR note.
+        q = jax.lax.stop_gradient(jnp.maximum(0.0, 1.0 - rr_beta))
         kill = past_first & alive & (u_rr < q)
         beta = jnp.where(
             (past_first & alive)[..., None],

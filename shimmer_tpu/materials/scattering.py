@@ -30,11 +30,14 @@ EFFECTIVELY_SMOOTH = 1e-3
 
 
 def clamp_alpha(alpha_x, alpha_y):
-    """Non-smooth distributions need alpha >= 1e-4 (scattering.rs:117-127)."""
-    smooth = effectively_smooth(alpha_x, alpha_y)
-    ax = jnp.where(smooth, alpha_x, jnp.maximum(alpha_x, 1e-4))
-    ay = jnp.where(smooth, alpha_y, jnp.maximum(alpha_y, 1e-4))
-    return ax, ay
+    """Non-smooth distributions need alpha >= 1e-4 (scattering.rs:117-127).
+
+    The clamp is unconditional: effectively-smooth lanes (alpha < 1e-3)
+    stay classified as smooth after clamping to 1e-4, but the rough-branch
+    math they still execute (masked megakernel) no longer overflows f32 —
+    unclamped 1e-5 alphas drive GGX's 1/alpha² terms past f32 range and
+    the resulting inf poisons reverse-mode gradients of masked lanes."""
+    return jnp.maximum(alpha_x, 1e-4), jnp.maximum(alpha_y, 1e-4)
 
 
 def effectively_smooth(alpha_x, alpha_y):
@@ -45,17 +48,25 @@ def tr_d(wm, alpha_x, alpha_y):
     """GGX normal distribution D(wm) (scattering.rs:138-149)."""
     t2 = tan2_theta(wm)
     cos4 = sqr(cos2_theta(wm))
-    e = t2 * (sqr(cos_phi(wm) / alpha_x) + sqr(sin_phi(wm) / alpha_y))
-    d = 1.0 / (jnp.pi * alpha_x * alpha_y * cos4 * sqr(1.0 + e))
     ok = jnp.isfinite(t2) & (cos4 >= 1e-16)
+    # double-where: sanitize inf tan² BEFORE it enters the product, or
+    # reverse-mode AD yields inf·0 = NaN gradients w.r.t. alpha.
+    t2 = jnp.where(ok, t2, 0.0)
+    e = t2 * (sqr(cos_phi(wm) / alpha_x) + sqr(sin_phi(wm) / alpha_y))
+    # e past ~1e16 would overflow sqr(1+e) in f32; D is 0 there anyway.
+    ok = ok & (e < 1e16)
+    e = jnp.where(ok, e, 0.0)
+    d = 1.0 / (jnp.pi * alpha_x * alpha_y * jnp.maximum(cos4, 1e-16) * sqr(1.0 + e))
     return jnp.where(ok, d, 0.0)
 
 
 def tr_lambda(w, alpha_x, alpha_y):
     t2 = tan2_theta(w)
+    finite = jnp.isfinite(t2)
+    t2 = jnp.where(finite, t2, 0.0)  # double-where (see tr_d)
     alpha2 = sqr(cos_phi(w) * alpha_x) + sqr(sin_phi(w) * alpha_y)
     lam = (-1.0 + safe_sqrt(1.0 + alpha2 * t2)) / 2.0
-    return jnp.where(jnp.isfinite(t2), lam, 0.0)
+    return jnp.where(finite, lam, 0.0)
 
 
 def tr_g1(w, alpha_x, alpha_y):
@@ -89,10 +100,17 @@ def tr_sample_wm(w, u, alpha_x, alpha_y):
     z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), wh.shape)
     t1_raw = cross(z, wh)
     straight = wh[..., 2] >= 0.99999
+    # double-where: keep the normalize argument well-conditioned on the
+    # untaken branch, else its 0/0 NaN poisons reverse-mode gradients.
+    t1_safe = jnp.where(
+        straight[..., None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], jnp.float32), wh.shape),
+        t1_raw,
+    )
     t1 = jnp.where(
         straight[..., None],
         jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], jnp.float32), wh.shape),
-        normalize(t1_raw),
+        normalize(t1_safe),
     )
     t2 = cross(wh, t1)
     p = sample_uniform_disk_polar(u)
@@ -188,9 +206,11 @@ def fresnel_complex(cos_theta_i, eta, k):
     # cos_t = sqrt(1 - sin2_t)  (complex sqrt)
     c2r = 1.0 - s2tr
     c2i = -s2ti
+    # safe_sqrt (custom-JVP): raw sqrt(max(x,0)) has an infinite derivative
+    # at x == 0 (exactly hit when c2i == 0), which NaNs reverse-mode AD.
     r = jnp.sqrt(jnp.maximum(sqr(c2r) + sqr(c2i), 1e-30))
-    ctr = jnp.sqrt(jnp.maximum((r + c2r) / 2.0, 0.0))
-    cti = jnp.sign(c2i + 1e-30) * jnp.sqrt(jnp.maximum((r - c2r) / 2.0, 0.0))
+    ctr = safe_sqrt((r + c2r) / 2.0)
+    cti = jnp.sign(c2i + 1e-30) * safe_sqrt((r - c2r) / 2.0)
     # r_parl = (eta_c ci - cos_t) / (eta_c ci + cos_t)
     ar = eta * ci
     ai = -k * ci

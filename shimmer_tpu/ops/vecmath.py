@@ -10,6 +10,7 @@ functions broadcast over leading batch dims and are jit/pallas safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from shimmer_tpu.ops.math import difference_of_products, safe_acos, safe_sqrt, sqr
@@ -62,9 +63,14 @@ def length(v):
 
 
 def normalize(v):
-    """v / |v|; returns v unchanged where |v| == 0 to avoid NaN in dead lanes."""
-    l = length(v)
-    return v / jnp.where(l > 0.0, l, 1.0)[..., None]
+    """v / |v|; returns v unchanged where |v| == 0 to avoid NaN in dead
+    lanes.  The zero-length guard is applied *inside* the rsqrt (double-
+    where), so reverse-mode AD never sees sqrt'(0) = inf — a 0·inf = NaN
+    otherwise poisons gradients of every masked consumer."""
+    l2 = jnp.sum(v * v, axis=-1)
+    ok = l2 > 0.0
+    inv = jax.lax.rsqrt(jnp.where(ok, l2, 1.0))
+    return v * jnp.where(ok, inv, 1.0)[..., None]
 
 
 def distance(p, q):
@@ -154,7 +160,12 @@ def tan_theta(w):
 
 
 def tan2_theta(w):
-    return sin2_theta(w) / cos2_theta(w)
+    # inf at cos == 0 (callers mask on isfinite), but the division's
+    # denominator is guarded inside (double-where) so reverse-mode AD of
+    # masked lanes sees 1/1, not 1/0 = inf (0·inf = NaN otherwise).
+    c2 = cos2_theta(w)
+    ok = c2 > 0.0
+    return jnp.where(ok, sin2_theta(w) / jnp.where(ok, c2, 1.0), jnp.inf)
 
 
 def cos_phi(w):

@@ -289,7 +289,10 @@ def _popcount8(v):
 TRAVERSE_CHUNK = 8
 
 
-def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
+def _traverse(
+    tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False,
+    with_stats=False,
+):
     """Lock-step 8-wide bitstack BVH traversal (see ops/bvh8.py).
 
     any_hit: python bool (whole call) OR a per-lane (N,) bool array —
@@ -303,10 +306,18 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
     Each step costs ONE (N, 128) row gather — the dominant cost — plus
     VPU tile work: an (N, 8) slab test or an (N, 8) watertight triangle
     intersect, both masked by row kind.
+
+    Traversal order (aggregate.rs:92-136 near-child-first analog, adapted
+    to the 8-wide layout): each internal visit descends directly into the
+    *nearest* hit child and pushes the sibling remainder together with a
+    conservative entry distance; popped groups whose stored distance is
+    already beyond t_best are pruned without a gather.  Both cut the
+    per-lane visit count — the sequential cost — roughly 2x on closest-hit
+    rays vs lowest-bit-first order.
     """
     n = ray_o.shape[0]
     rows_tab = tris.rows8
-    depth = tris.stack_depth
+    depth = 2 * tris.stack_depth + 2   # ordered descent: <=2 pushes/visit
     inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)
     want_any = jnp.broadcast_to(jnp.asarray(any_hit, bool), (n,))
     lane8 = jnp.arange(MAX_LEAF8, dtype=jnp.int32)
@@ -318,16 +329,22 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         return alive & ~(want_any & (tri_best >= 0))
 
     def step(state):
-        group, sp, stack, t_best, tri_best, b0, b1, verts = state
+        (group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
+         verts, visits) = state
         active = lane_active(group, sp, tri_best)
 
-        # Pop when the current group has no pending bits.
+        # Pop when the current group has no pending bits; prune popped
+        # groups whose conservative entry distance can no longer win.
         need_pop = active & ((group & 255) == 0)
         sp_p = sp - need_pop.astype(jnp.int32)
         sel = stack_iota[None, :] == sp_p[:, None]
         popped = jnp.sum(jnp.where(sel, stack, 0), axis=1)
-        group = jnp.where(need_pop, popped, group)
+        popped_t = jnp.sum(jnp.where(sel, stack_t, 0.0), axis=1)
+        pruned = need_pop & (popped_t >= t_best)
+        group = jnp.where(need_pop, jnp.where(pruned, 0, popped), group)
+        group_t = jnp.where(need_pop, popped_t, group_t)
         sp = sp_p
+        active = active & ~pruned
 
         # Lowest pending bit -> row index.
         mask = group & 255
@@ -337,6 +354,7 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         group_rem = group - t_low
         row_idx = jnp.where(active, row_idx, 0)
         row = rows_tab[row_idx]                  # THE gather (N, 128)
+        visits = visits + active.astype(jnp.int32)
 
         count = row[:, 80].astype(jnp.int32)
         is_leaf = active & (count > 0)
@@ -368,7 +386,15 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         )
         hmask = jnp.sum(jnp.where(hit8, bit_pow[None, :], 0), axis=1)
         child_base = row[:, 48].astype(jnp.int32)
-        child_group = (child_base << 8) | hmask
+        # Nearest hit child + remainder (ordered descent).
+        tn = jnp.where(hit8, jnp.maximum(t_near, 0.0), jnp.inf)
+        k_near = jnp.argmin(tn, axis=-1).astype(jnp.int32)
+        near_t = jnp.min(tn, axis=-1)
+        near_bit = (1 << k_near).astype(jnp.int32)
+        child_rem = hmask & ~near_bit
+        tn2 = jnp.where(lane8[None, :] == k_near[:, None], jnp.inf, tn)
+        child_rem_t = jnp.min(tn2, axis=-1)
+        child_group = ((child_base + k_near) << 8) | 1
 
         # Leaf: intersect 8 inline triangles as an (N, 8) tile.
         p0 = jnp.stack([row[:, 0:8], row[:, 8:16], row[:, 16:24]], axis=-1)
@@ -399,19 +425,33 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
         )
         verts = jnp.where(closer[:, None], verts_new, verts)
 
-        # Transition: descend into hit children (pushing the sibling
-        # remainder), else continue with the remainder.
+        # Transition: descend into the nearest hit child; push (a) the
+        # current group's sibling remainder (conservative entry = the
+        # group's own creation distance) and (b) the hit-children
+        # remainder (exact second-nearest entry distance).
         descend = is_int & (hmask > 0)
-        push = descend & ((group_rem & 255) > 0)
-        onehot = (stack_iota[None, :] == sp[:, None]) & push[:, None]
-        stack = jnp.where(onehot, group_rem[:, None], stack)
-        sp = sp + push.astype(jnp.int32)
+        push1 = descend & ((group_rem & 255) > 0)
+        push2 = descend & (child_rem > 0)
+        pos1 = sp
+        pos2 = sp + push1.astype(jnp.int32)
+        oh1 = (stack_iota[None, :] == pos1[:, None]) & push1[:, None]
+        stack = jnp.where(oh1, group_rem[:, None], stack)
+        stack_t = jnp.where(oh1, group_t[:, None], stack_t)
+        oh2 = (stack_iota[None, :] == pos2[:, None]) & push2[:, None]
+        crem_group = (child_base << 8) | child_rem
+        stack = jnp.where(oh2, crem_group[:, None], stack)
+        stack_t = jnp.where(oh2, child_rem_t[:, None], stack_t)
+        sp = sp + push1.astype(jnp.int32) + push2.astype(jnp.int32)
         group_next = jnp.where(descend, child_group, group_rem)
         group = jnp.where(active, group_next, group)
-        return (group, sp, stack, t_best, tri_best, b0, b1, verts)
+        group_t = jnp.where(descend, near_t, group_t)
+        return (
+            group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
+            verts, visits,
+        )
 
     def cond(state):
-        return jnp.any(lane_active(state[0], state[1], state[4]))
+        return jnp.any(lane_active(state[0], state[2], state[6]))
 
     def chunk(state):
         return jax.lax.fori_loop(
@@ -420,17 +460,22 @@ def _traverse(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False):
 
     state = (
         jnp.ones(n, jnp.int32),            # group: row 0, mask=1
+        jnp.zeros(n, jnp.float32),         # group_t
         jnp.zeros(n, jnp.int32),           # sp
         jnp.zeros((n, depth), jnp.int32),  # stack
+        jnp.zeros((n, depth), jnp.float32),  # stack_t
         jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32),
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros((n, 9), jnp.float32),
+        jnp.zeros(n, jnp.int32),           # visits (stats)
     )
     state = jax.lax.while_loop(cond, chunk, state)
-    _, _, _, t_best, tri_best, b0, b1, verts = state
+    (_, _, _, _, _, t_best, tri_best, b0, b1, verts, visits) = state
     b2 = jnp.where(tri_best >= 0, 1.0 - b0 - b1, 0.0)
+    if with_stats:
+        return t_best, tri_best, b0, b1, b2, verts, visits
     return t_best, tri_best, b0, b1, b2, verts
 
 

@@ -1,0 +1,265 @@
+"""Gradient validation: AD pixel-gradients vs central finite differences.
+
+BASELINE.md backward gate: "texture/BSDF pixel-gradients allclose to
+finite differences".  The estimator uses common random numbers (the
+counter-based sampler's stream depends only on (pixel, sample, dim), never
+on scene parameters), so for smooth parameters the *realized* image is a
+smooth function of theta and FD-vs-AD agree tightly — far tighter than the
+Monte-Carlo noise floor.  Russian roulette's survival probability is
+detached inside the integrators (sampling measure, not integrand), so the
+only param-dependent discontinuities are measure-zero lobe flips.
+
+Covers (VERDICT round 1, item 4): (a) diffuse reflectance coeffs,
+(b) emission scale, (c) conductor roughness, (d) an image-texture texel.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shimmer_tpu.cameras import CameraTransform, PerspectiveCamera
+from shimmer_tpu.color.colorspace import get_named_color_space
+from shimmer_tpu.film.filters import BoxFilter, get_camera_sample
+from shimmer_tpu.film.film import PixelSensor, RgbFilm
+from shimmer_tpu.integrators.path import li_path
+from shimmer_tpu.lights import lights as lt
+from shimmer_tpu.materials import material as mtl
+from shimmer_tpu.ops.transform import Transform
+from shimmer_tpu.samplers import IndependentSampler
+from shimmer_tpu.scene_builder import build_scene
+from shimmer_tpu.spectra.spectrum import ConstantSpectrum
+
+
+RES = 12
+SPP = 32
+MAX_DEPTH = 3
+
+
+def _cam_film():
+    cs = get_named_color_space("srgb")
+    ct = CameraTransform(
+        Transform.look_at(
+            jnp.array([0.0, 0.0, -4.0]),
+            jnp.array([0.0, 0.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0]),
+        )
+    )
+    cam = PerspectiveCamera(ct, (RES, RES), fov=45.0)
+    film = RgbFilm((RES, RES), BoxFilter(), PixelSensor(cs), cs)
+    return cam, film
+
+
+def _mean_radiance(scene, cam, film):
+    """Mean of the per-lane radiance estimate over all pixels x SPP,
+    at a fixed sampler seed (common random numbers)."""
+    sampler = IndependentSampler(SPP, seed=7)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(RES, dtype=jnp.int32),
+        jnp.arange(RES, dtype=jnp.int32),
+        indexing="ij",
+    )
+    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+    def one(sample_index):
+        s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
+        u_lam, s_state = sampler.get_1d(s_state)
+        swl = film.sample_wavelengths(u_lam)
+        u_f, s_state = sampler.get_pixel_2d(s_state)
+        u_l, s_state = sampler.get_2d(s_state)
+        p_film, _, u_l = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
+        ray = cam.generate_ray(p_film, u_l)
+        l = li_path(scene, ray, swl, sampler, s_state, MAX_DEPTH)
+        return jnp.mean(l)
+
+    vals = jax.lax.map(one, jnp.arange(SPP, dtype=jnp.uint32))
+    return jnp.mean(vals)
+
+
+def _fd_vs_ad(f, theta0, h, rtol, atol=0.0):
+    """Central finite difference of f at theta0 (scalar theta) vs AD."""
+    f_jit = jax.jit(f)
+    g_ad = float(jax.jit(jax.grad(f))(theta0))
+    g_fd = float((f_jit(theta0 + h) - f_jit(theta0 - h)) / (2.0 * h))
+    np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=atol), (g_ad, g_fd)
+    return g_ad, g_fd
+
+
+class TestGradients:
+    def test_diffuse_reflectance(self):
+        """d(mean image)/d(reflectance coeff) — sphere + area light."""
+        cam, film = _cam_film()
+        scene = build_scene(
+            spheres=[
+                {"radius": 1.0, "material_id": 0},
+                {
+                    "radius": 0.3,
+                    "material_id": 1,
+                    "area_light_id": 0,
+                    "object_to_world": Transform.translate(
+                        jnp.array([0.0, 2.0, 0.0])
+                    ),
+                },
+            ],
+            materials=[
+                {"kind": mtl.DIFFUSE, "reflectance": [0.6, 0.5, 0.4]},
+                {"kind": mtl.DIFFUSE, "reflectance": [0.0, 0.0, 0.0]},
+            ],
+            lights=[
+                {
+                    "kind": lt.AREA,
+                    "spectrum": ConstantSpectrum(20.0),
+                    "shape_kind": 0,
+                    "shape_idx": 1,
+                }
+            ],
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+        cam_, film_ = cam, film
+
+        def f(theta):
+            mats = dataclasses.replace(
+                scene.materials,
+                reflectance=scene.materials.reflectance.at[0, 1].set(theta),
+            )
+            return _mean_radiance(
+                dataclasses.replace(scene, materials=mats), cam_, film_
+            )
+
+        theta0 = jnp.float32(scene.materials.reflectance[0, 1])
+        g_ad, g_fd = _fd_vs_ad(f, theta0, h=1e-2, rtol=2e-2)
+        assert abs(g_ad) > 1e-6, "gradient should be nonzero"
+
+    def test_emission_scale(self):
+        """d(mean image)/d(light scale) is exactly linear -> tight match."""
+        cam, film = _cam_film()
+        scene = build_scene(
+            spheres=[
+                {"radius": 1.0, "material_id": 0},
+                {
+                    "radius": 0.3,
+                    "material_id": 1,
+                    "area_light_id": 0,
+                    "object_to_world": Transform.translate(
+                        jnp.array([0.0, 2.0, 0.0])
+                    ),
+                },
+            ],
+            materials=[
+                {"kind": mtl.DIFFUSE, "reflectance": [0.7, 0.7, 0.7]},
+                {"kind": mtl.DIFFUSE, "reflectance": [0.0, 0.0, 0.0]},
+            ],
+            lights=[
+                {
+                    "kind": lt.AREA,
+                    "spectrum": ConstantSpectrum(1.0),
+                    "scale": 20.0,
+                    "shape_kind": 0,
+                    "shape_idx": 1,
+                }
+            ],
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+
+        def f(theta):
+            lights = dataclasses.replace(
+                scene.lights, scale=scene.lights.scale.at[0].set(theta)
+            )
+            return _mean_radiance(
+                dataclasses.replace(scene, lights=lights), cam, film
+            )
+
+        theta0 = jnp.float32(scene.lights.scale[0])
+        g_ad, g_fd = _fd_vs_ad(f, theta0, h=0.5, rtol=1e-3)
+        assert g_ad > 0.0
+
+    def test_conductor_roughness(self):
+        """d(mean image)/d(GGX roughness) — rough conductor in a uniform
+        environment; gradient flows through VNDF sampling + the BRDF."""
+        cam, film = _cam_film()
+        cs = get_named_color_space("srgb")
+        scene = build_scene(
+            spheres=[{"radius": 1.0, "material_id": 0}],
+            materials=[
+                {
+                    "kind": mtl.CONDUCTOR,
+                    # stored value is pre-remap roughness; eval applies
+                    # alpha = sqrt(stored) (loading/scene_builder.py:753)
+                    "uroughness": 0.09,
+                    "vroughness": 0.09,
+                }
+            ],
+            lights=[
+                {
+                    "kind": lt.UNIFORM_INFINITE,
+                    "spectrum": cs.illuminant,
+                    "photometric": True,
+                }
+            ],
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+
+        def f(theta):
+            mats = dataclasses.replace(
+                scene.materials,
+                uroughness=scene.materials.uroughness.at[0].set(theta),
+                vroughness=scene.materials.vroughness.at[0].set(theta),
+            )
+            return _mean_radiance(
+                dataclasses.replace(scene, materials=mats), cam, film
+            )
+
+        theta0 = jnp.float32(scene.materials.uroughness[0])
+        g_ad, g_fd = _fd_vs_ad(f, theta0, h=1e-2, rtol=5e-2, atol=1e-4)
+        assert abs(g_ad) > 1e-6, "roughness gradient should be nonzero"
+
+    def test_texture_texel(self):
+        """d(mean image)/d(one atlas texel) — image texture driving the
+        diffuse reflectance of the sphere."""
+        from shimmer_tpu.textures import textures as tx
+
+        cam, film = _cam_film()
+        cs = get_named_color_space("srgb")
+        b = tx.TextureBuilder()
+        img = np.full((4, 4, 3), 0.5, np.float32)
+        tid = b.add_image(
+            img, is_spectrum=True, filter_kind=tx.FILTER_POINT
+        )
+        table = b.build()
+        scene = build_scene(
+            spheres=[{"radius": 1.0, "material_id": 0}],
+            materials=[
+                {
+                    "kind": mtl.DIFFUSE,
+                    "reflectance": [0.5, 0.5, 0.5],
+                    "tex_reflectance": tid,
+                }
+            ],
+            lights=[
+                {
+                    "kind": lt.UNIFORM_INFINITE,
+                    "spectrum": cs.illuminant,
+                    "photometric": True,
+                }
+            ],
+            textures=table,
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+
+        # Perturb one sigmoid-coefficient channel of one texel that the
+        # sphere's UV footprint actually covers.
+        texel = 2 * 4 + 1  # row 2, col 1 of the 4x4 level-0 image
+        off = int(scene.textures.level0_offset[tid]) + texel
+
+        def f(theta):
+            atlas = scene.textures.atlas.at[off, 2].set(theta)
+            texs = dataclasses.replace(scene.textures, atlas=atlas)
+            return _mean_radiance(
+                dataclasses.replace(scene, textures=texs), cam, film
+            )
+
+        theta0 = jnp.float32(scene.textures.atlas[off, 2])
+        g_ad, g_fd = _fd_vs_ad(f, theta0, h=5e-3, rtol=5e-2, atol=1e-7)
+        assert abs(g_ad) > 0.0, "texel gradient should be nonzero"
