@@ -317,7 +317,11 @@ def _traverse(
     """
     n = ray_o.shape[0]
     rows_tab = tris.rows8
-    depth = 2 * tris.stack_depth + 2   # ordered descent: <=2 pushes/visit
+    # Stack occupancy is bounded by one group per tree level plus slack:
+    # push1 only re-pushes the popped level's remainder and push2 targets
+    # the next level, so at most one in-flight remainder group exists per
+    # level (advisor r2 — halves per-lane stack HBM vs the 2x bound).
+    depth = tris.stack_depth + 2
     inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)
     want_any = jnp.broadcast_to(jnp.asarray(any_hit, bool), (n,))
     lane8 = jnp.arange(MAX_LEAF8, dtype=jnp.int32)
@@ -329,8 +333,11 @@ def _traverse(
         return alive & ~(want_any & (tri_best >= 0))
 
     def step(state):
+        # visits is only carried (and only traced) when with_stats is set —
+        # XLA cannot DCE loop-carried state, so the stats counter must not
+        # ride in the hot loop by default (advisor r2).
         (group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
-         verts, visits) = state
+         verts) = state[:10]
         active = lane_active(group, sp, tri_best)
 
         # Pop when the current group has no pending bits; prune popped
@@ -354,7 +361,8 @@ def _traverse(
         group_rem = group - t_low
         row_idx = jnp.where(active, row_idx, 0)
         row = rows_tab[row_idx]                  # THE gather (N, 128)
-        visits = visits + active.astype(jnp.int32)
+        if with_stats:
+            visits = state[10] + active.astype(jnp.int32)
 
         count = row[:, 80].astype(jnp.int32)
         is_leaf = active & (count > 0)
@@ -445,10 +453,13 @@ def _traverse(
         group_next = jnp.where(descend, child_group, group_rem)
         group = jnp.where(active, group_next, group)
         group_t = jnp.where(descend, near_t, group_t)
-        return (
+        out = (
             group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
-            verts, visits,
+            verts,
         )
+        if with_stats:
+            out = out + (visits,)
+        return out
 
     def cond(state):
         return jnp.any(lane_active(state[0], state[2], state[6]))
@@ -469,13 +480,14 @@ def _traverse(
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros((n, 9), jnp.float32),
-        jnp.zeros(n, jnp.int32),           # visits (stats)
     )
+    if with_stats:
+        state = state + (jnp.zeros(n, jnp.int32),)  # visits
     state = jax.lax.while_loop(cond, chunk, state)
-    (_, _, _, _, _, t_best, tri_best, b0, b1, verts, visits) = state
+    (_, _, _, _, _, t_best, tri_best, b0, b1, verts) = state[:10]
     b2 = jnp.where(tri_best >= 0, 1.0 - b0 - b1, 0.0)
     if with_stats:
-        return t_best, tri_best, b0, b1, b2, verts, visits
+        return t_best, tri_best, b0, b1, b2, verts, state[10]
     return t_best, tri_best, b0, b1, b2, verts
 
 

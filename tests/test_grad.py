@@ -83,7 +83,9 @@ def _fd_vs_ad(f, theta0, h, rtol, atol=0.0):
     f_jit = jax.jit(f)
     g_ad = float(jax.jit(jax.grad(f))(theta0))
     g_fd = float((f_jit(theta0 + h) - f_jit(theta0 - h)) / (2.0 * h))
-    np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=atol), (g_ad, g_fd)
+    np.testing.assert_allclose(
+        g_ad, g_fd, rtol=rtol, atol=atol, err_msg=f"ad={g_ad} fd={g_fd}"
+    )
     return g_ad, g_fd
 
 
@@ -249,8 +251,10 @@ class TestGradients:
         )
 
         # Perturb one sigmoid-coefficient channel of one texel that the
-        # sphere's UV footprint actually covers.
-        texel = 2 * 4 + 1  # row 2, col 1 of the 4x4 level-0 image
+        # sphere's UV footprint actually covers (under point filtering the
+        # footprint covers texels 0-8 and 11; advisor r2 measured texel 5's
+        # grad ~5e-5, while texel 9 is never sampled).
+        texel = 1 * 4 + 1  # row 1, col 1 of the 4x4 level-0 image
         off = int(scene.textures.level0_offset[tid]) + texel
 
         def f(theta):
@@ -263,3 +267,21 @@ class TestGradients:
         theta0 = jnp.float32(scene.textures.atlas[off, 2])
         g_ad, g_fd = _fd_vs_ad(f, theta0, h=5e-3, rtol=5e-2, atol=1e-7)
         assert abs(g_ad) > 0.0, "texel gradient should be nonzero"
+
+        # Whole-atlas variant: shift channel 2 of every level-0 texel of
+        # this texture — must be nonzero no matter which texels the UV
+        # footprint lands on (VERDICT r2 item 2).
+        n_texels = int(np.prod(img.shape[:2]))
+        base = int(scene.textures.level0_offset[tid])
+
+        def f_all(theta):
+            atlas = scene.textures.atlas.at[base : base + n_texels, 2].add(
+                theta
+            )
+            texs = dataclasses.replace(scene.textures, atlas=atlas)
+            return _mean_radiance(
+                dataclasses.replace(scene, textures=texs), cam, film
+            )
+
+        g_ad, g_fd = _fd_vs_ad(f_all, jnp.float32(0.0), h=5e-3, rtol=5e-2)
+        assert abs(g_ad) > 1e-6, "whole-atlas gradient should be nonzero"
