@@ -239,6 +239,7 @@ def li_path(
     prev_p = ray.o
     prev_ns = jnp.zeros(n + (3,), jnp.float32)
     any_non_specular = jnp.zeros(n, bool)
+    lam_terminated = jnp.zeros(n, bool)
     rays_traced = jnp.zeros((), jnp.float32)
     ray_o, ray_d = ray.o, ray.d
 
@@ -271,6 +272,9 @@ def li_path(
 
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
+        beta, lam_terminated = _apply_dispersion(
+            scene, si, alive, beta, lam_terminated
+        )
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
         bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
@@ -396,6 +400,7 @@ def li_simple_path(
     beta = jnp.ones(n + (4,), jnp.float32)
     alive = jnp.ones(n, bool)
     specular = jnp.ones(n, bool)
+    lam_terminated = jnp.zeros(n, bool)
     ray_o, ray_d = ray.o, ray.d
 
     for depth in range(max_depth + 1):
@@ -425,6 +430,9 @@ def li_simple_path(
             break
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
+        beta, lam_terminated = _apply_dispersion(
+            scene, si, alive, beta, lam_terminated
+        )
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
         bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
@@ -605,6 +613,36 @@ def _resolve_mix(scene, si, sampler, s_state):
         scene.materials, scene.material_kinds, si.material_id, u_mix
     )
     return replace(si, material_id=mat_id), s_state
+
+
+def _apply_dispersion(scene, si, alive, beta, terminated):
+    """Dispersion hook: lanes whose (mix-resolved) hit material is a
+    dielectric with a *spectral* eta collapse to the hero wavelength
+    before BSDF construction (material.rs:609-620,729-733
+    ``lambda.terminate_secondary()``).
+
+    Implemented as a throughput reweight instead of mutating swl.pdf:
+    on first dispersive hit, beta <- beta * (N, 0, 0, 0).  The film keeps
+    dividing by the ORIGINAL wavelength pdf, so post-termination
+    contributions become the single-wavelength estimator (x N on the hero
+    exactly cancels the 1/N spectral average) while pre-termination
+    contributions at secondary wavelengths are kept — still unbiased, and
+    strictly lower-variance than the reference's retroactive pdf zeroing.
+    Returns (beta, terminated)."""
+    mats = scene.materials
+    if not mats.has_dispersion:
+        return beta, terminated
+    from shimmer_tpu.spectra.sampled import N_SPECTRUM_SAMPLES
+
+    mid = jnp.maximum(si.material_id, 0)
+    disp = alive & si.valid & (si.material_id >= 0) & mats.dispersive[mid]
+    newly = disp & ~terminated
+    hero_only = jnp.asarray(
+        [float(N_SPECTRUM_SAMPLES)] + [0.0] * (N_SPECTRUM_SAMPLES - 1),
+        jnp.float32,
+    )
+    beta = jnp.where(newly[..., None], beta * hero_only, beta)
+    return beta, terminated | newly
 
 
 def _with_rng_key(scene, bsdf_ctx, s_state):

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from shimmer_tpu.film.filters import get_camera_sample
 from shimmer_tpu.integrators.path import (
     INF,
+    _apply_dispersion,
     _area_le_with_mis,
     _bsdf_ctx,
     _infinite_le_with_mis,
@@ -83,6 +84,7 @@ class _WaveState:
     # per-path bookkeeping
     lam: jnp.ndarray         # (N, 4)
     lam_pdf: jnp.ndarray     # (N, 4)
+    lam_term: jnp.ndarray    # (N,) bool — dispersion hero-collapse applied
     s_ph: jnp.ndarray        # (N,) uint32 sampler pixel hash / morton
     s_si: jnp.ndarray        # (N,) uint32 sampler sample index
     s_dim: jnp.ndarray       # (N,) uint32 sampler dimension
@@ -172,6 +174,7 @@ def render_wave_wavefront(
             prev_ns=m(zero3, st.prev_ns),
             lam=m(swl.lam, st.lam),
             lam_pdf=m(swl.pdf, st.lam_pdf),
+            lam_term=jnp.where(take, False, st.lam_term),
             s_ph=m(s_state.pixel_hash, st.s_ph),
             s_si=m(s_state.sample_index, st.s_si),
             s_dim=m(s_state.dim, st.s_dim),
@@ -229,6 +232,10 @@ def render_wave_wavefront(
 
         si = _prepare_hit(scene, si, st.ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
+        beta0, lam_term = _apply_dispersion(
+            scene, si, will_shade, st.beta, st.lam_term
+        )
+        st = dataclasses.replace(st, beta=beta0)
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
         bsdf_ctx = _with_rng_key(scene, bsdf_ctx, s_state)
@@ -318,7 +325,7 @@ def render_wave_wavefront(
             sh_tmax=jnp.where(pend_sh, sh_tmax, st.sh_tmax),
             ld=_where_merge(pend_sh, beta_nee * ld_new, st.ld),
             l=l, beta=beta, p_b=p_b, eta_scale=eta_scale,
-            specular=specular, any_ns=any_ns,
+            specular=specular, any_ns=any_ns, lam_term=lam_term,
             prev_p=prev_p, prev_ns=prev_ns,
             s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
             s_dim=s_state.dim,
@@ -355,6 +362,7 @@ def render_wave_wavefront(
         prev_ns=zero3,
         lam=jnp.full((n, 4), 550.0, jnp.float32),
         lam_pdf=jnp.ones((n, 4), jnp.float32),
+        lam_term=jnp.zeros(n, bool),
         s_ph=jnp.zeros(n, jnp.uint32),
         s_si=jnp.zeros(n, jnp.uint32),
         s_dim=jnp.zeros(n, jnp.uint32),

@@ -67,8 +67,13 @@ class MaterialTable:
     albedo: jnp.ndarray           # (M, 3) sigmoid coeffs of medium albedo
     bot_uroughness: jnp.ndarray   # (M,) bottom-interface roughness
     bot_vroughness: jnp.ndarray   # (M,)
+    # dielectric with a *spectral* (dense-row) eta: hitting it collapses the
+    # path to the hero wavelength (dispersion, material.rs:609-620,729-733)
+    dispersive: jnp.ndarray       # (M,) bool
     # static: any layered material has a scattering medium (albedo != 0)?
     layer_medium: bool = static_field(default=False)
+    # static: any dispersive dielectric present (gates the swl update)?
+    has_dispersion: bool = static_field(default=False)
 
 
 def make_material_table(mats: list[dict]) -> MaterialTable:
@@ -85,6 +90,11 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     kinds_arr = gi("kind", DIFFUSE)
     is_coated = (kinds_arr == COATED_DIFFUSE) | (kinds_arr == COATED_CONDUCTOR)
     layer_medium = bool(np.any(np.abs(albedo[is_coated]) > 0.0)) if m else False
+    # Spectral-eta dielectrics are dispersive (constant-eta spectra are
+    # stored as eta_float by the loaders, so eta_spec >= 0 ⇒ non-constant).
+    dispersive = (
+        (kinds_arr == DIELECTRIC) | (kinds_arr == THIN_DIELECTRIC)
+    ) & (gi("eta_spec", -1) >= 0)
     return MaterialTable(
         kind=jnp.asarray(gi("kind", DIFFUSE)),
         reflectance=jnp.asarray(refl),
@@ -106,7 +116,9 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         albedo=jnp.asarray(albedo),
         bot_uroughness=jnp.asarray(g("bot_uroughness", 0.0)),
         bot_vroughness=jnp.asarray(g("bot_vroughness", 0.0)),
+        dispersive=jnp.asarray(dispersive),
         layer_medium=layer_medium,
+        has_dispersion=bool(np.any(dispersive)) if m else False,
     )
 
 
