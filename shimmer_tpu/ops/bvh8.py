@@ -13,14 +13,21 @@ child boxes or 8 inline triangles.
 Layout (one (128,) f32 row per node, two kinds):
 
 * **internal row**: cols 0:48 = the 8 child AABBs laid out SoA-in-row
-  ``[lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8]`` (empty slots get
-  +inf/-inf boxes that fail every slab test); col 48 = ``child_base``;
-  col 80 = 0.  A node's children occupy *contiguous* rows
+  ``[lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8]``; col 48 =
+  ``child_base``; col 80 = 0; cols 88:96 = per-slot valid flags (1.0 for
+  occupied slots — empty slots hold zero boxes and MUST be masked by the
+  flag; the rows are kept free of inf/NaN because the Pallas packet
+  kernel routes them through an MXU transpose, where non-finite values
+  would poison the product).  A node's children occupy *contiguous* rows
   ``child_base + j`` for slot j — this is what makes the traversal's
   bitmask state work without re-gathering the parent.
 * **leaf row**: cols 0:72 = up to 8 inline triangles SoA-in-row
   ``[p0x*8 | p0y*8 | p0z*8 | p1x*8 | ... | p2z*8]``; cols 72:80 = the 8
   BVH-sorted triangle ids; col 80 = triangle count in 1..8.
+
+A parallel ``meta`` int32 array (one per row) packs
+``leaf_count | child_base << 4`` for scalar-unit consumption by the
+Pallas kernel (ops/pallas/traverse.py).
 
 All indices/counts are stored as exact small floats (< 2^24): no bit
 casts, so NaN canonicalization or denormal flushing cannot corrupt
@@ -50,12 +57,14 @@ MAX_LEAF8 = 8     # max triangles per leaf row
 _COL_BASE = 48    # internal: child_base
 _COL_COUNT = 80   # both: leaf count (0 => internal)
 _COL_IDS = 72     # leaf: 8 BVH-sorted triangle ids
+_COL_VALID = 88   # internal: 8 slot-valid flags
 MAX_GROUP_BASE = (1 << 23) - 1  # group packs base*256+mask into int32
 
 
 @dataclasses.dataclass
 class BVH8Arrays:
     rows: np.ndarray       # (R, 128) f32 packed node/leaf rows
+    meta: np.ndarray       # (R,) int32 leaf_count | child_base << 4
     perm: np.ndarray       # (T,) int32 Morton-sorted triangle order
     n_rows: int
     max_depth: int         # max stack depth needed by the traversal
@@ -168,17 +177,19 @@ def _layout8(h, children, wide_binary):
     n_rows = next_row
     assert n_rows <= MAX_GROUP_BASE, "scene too large for packed int32 groups"
 
+    # All rows finite (zeros): empty internal slots are zero boxes gated
+    # by the valid flag — the Pallas kernel's MXU fetch cannot tolerate
+    # inf/NaN anywhere in the table.
     rows = np.zeros((n_rows, W8), np.float32)
-    # Empty-slot boxes: lo = hi = +inf fails the slab test for every ray
-    # direction sign (t_near = +inf or t_far <= 0) without producing NaNs.
-    rows[:, 0:48] = np.float32(np.inf)
+    meta = np.zeros(n_rows, np.int32)
 
-    # Internal rows: child boxes + base.
+    # Internal rows: child boxes + base + slot-valid flags.
     for wid in order:
         r = row_of_wide[wid]
         slots = children[wid]
         rows[r, _COL_BASE] = float(child_base[wid])
         rows[r, _COL_COUNT] = 0.0
+        meta[r] = int(child_base[wid]) << 4
         for j, (kind, a, cnt, s) in enumerate(slots):
             l3 = blo[s]
             h3 = bhi[s]
@@ -188,8 +199,10 @@ def _layout8(h, children, wide_binary):
             rows[r, 24 + j] = h3[0]
             rows[r, 32 + j] = h3[1]
             rows[r, 40 + j] = h3[2]
+            rows[r, _COL_VALID + j] = 1.0
     return BVH8Arrays(
         rows=rows,
+        meta=meta,
         perm=h["order"],
         n_rows=n_rows,
         max_depth=int(depth_of.max()) + 2,
@@ -210,9 +223,8 @@ def pack_bvh8(lo, hi, tri_p, builder: str = "auto") -> BVH8Arrays:
     if leaf_rows:
         lr = np.asarray([(r, f, c) for (r, f, c, _s) in leaf_rows], np.int64)
         r_ids, firsts, counts = lr[:, 0], lr[:, 1], lr[:, 2]
-        # Zero the inf-initialized box area for leaf rows.
-        rows[r_ids, 0:48] = 0.0
         rows[r_ids, _COL_COUNT] = counts.astype(np.float32)
+        arrs.meta[r_ids] = counts.astype(np.int32)
         for k in range(MAX_LEAF8):
             m = counts > k
             if not m.any():
@@ -234,7 +246,8 @@ def pack_bvh8(lo, hi, tri_p, builder: str = "auto") -> BVH8Arrays:
             for c in range(9):
                 rows[rr, c * 8 + k] = rows[rr, c * 8]
     return BVH8Arrays(
-        rows=rows, perm=perm, n_rows=arrs.n_rows, max_depth=arrs.max_depth
+        rows=rows, meta=arrs.meta, perm=perm, n_rows=arrs.n_rows,
+        max_depth=arrs.max_depth,
     )
 
 

@@ -83,11 +83,15 @@ class TriangleSceneData:
     tri_area: jnp.ndarray      # (T,)
     # Hot-path packed tables:
     rows8: jnp.ndarray       # (R, 128) f32 — see ops/bvh8.py layout
+    meta: jnp.ndarray        # (R,) int32 leaf_count | child_base << 4
     attr_rows: jnp.ndarray   # (T, 32) f32, BVH order
     light_rows: jnp.ndarray  # (T, 16) f32, original order
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
     stack_depth: int = static_field(default=16)
+    # Traversal backend: "auto" = Pallas packet kernel on TPU when the
+    # row table fits VMEM, XLA bitstack otherwise; "pallas"/"xla" force.
+    traversal: str = static_field(default="auto")
     has_normals: bool = static_field(default=False)
     has_uv: bool = static_field(default=False)
     # When True, the chosen triangle is re-intersected differentiably from
@@ -100,6 +104,7 @@ def build_triangle_scene(
     meshes: list[dict],
     leaf_size: int = MAX_LEAF8,
     differentiable_hits: bool = False,
+    traversal: str = "auto",
 ) -> TriangleSceneData:
     """Host: concatenate meshes, build the BVH, pack the fat tables.
 
@@ -186,11 +191,13 @@ def build_triangle_scene(
         orig_rev=jnp.asarray(rev),
         tri_area=jnp.asarray(area, jnp.float32),
         rows8=jnp.asarray(bvh8.rows),
+        meta=jnp.asarray(bvh8.meta),
         attr_rows=jnp.asarray(attr),
         light_rows=jnp.asarray(light_rows),
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
         stack_depth=bvh8.max_depth,
+        traversal=traversal,
         has_normals=any_n,
         has_uv=any_uv,
         differentiable_hits=differentiable_hits,
@@ -390,6 +397,7 @@ def _traverse(
             (t_near <= t_far * 1.0001)
             & (t_far > 0.0)
             & (t_near < t_best[:, None])
+            & (row[:, 88:96] > 0.0)   # slot-valid flags (empty = 0 box)
             & is_int[:, None]
         )
         hmask = jnp.sum(jnp.where(hit8, bit_pow[None, :], 0), axis=1)
@@ -491,6 +499,35 @@ def _traverse(
     return t_best, tri_best, b0, b1, b2, verts
 
 
+def _use_pallas(tris: TriangleSceneData) -> bool:
+    """Static choice of traversal backend (resolved at trace time)."""
+    if tris.traversal == "xla":
+        return False
+    from shimmer_tpu.ops.pallas.traverse import VMEM_TABLE_BYTES
+
+    fits = tris.rows8.shape[0] * 512 <= VMEM_TABLE_BYTES
+    if tris.traversal == "pallas":
+        return True
+    return fits and jax.default_backend() == "tpu"
+
+
+def _traverse_any(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
+    """Backend dispatch; both paths return (t, tri, b0, b1, b2, verts)
+    with t = +inf on miss."""
+    if _use_pallas(tris):
+        from shimmer_tpu.ops.pallas.traverse import traverse_packets
+
+        return traverse_packets(
+            tris, ray_o, ray_d, t_max, any_hit=any_hit,
+            interpret=tris.traversal == "pallas"
+            and jax.default_backend() != "tpu",
+        )
+    t, tri, b0, b1, b2, verts = _traverse(
+        tris, ray_o, ray_d, t_max, any_hit=any_hit
+    )
+    return jnp.where(tri >= 0, t, jnp.inf), tri, b0, b1, b2, verts
+
+
 def triangle_scene_intersect(
     tris: TriangleSceneData, ray_o, ray_d, t_max, want_any=False
 ) -> SurfaceInteraction:
@@ -500,7 +537,7 @@ def triangle_scene_intersect(
     want_any: per-lane any-hit flags (see scene.scene_intersect)."""
     # Traversal runs on detached rays (lax.while_loop is not reverse-mode
     # differentiable, and hit *topology* is discrete anyway).
-    t, tri, b0, b1, b2, verts = _traverse(
+    t, tri, b0, b1, b2, verts = _traverse_any(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
@@ -605,7 +642,7 @@ def triangle_scene_intersect(
 def triangle_scene_occluded(tris: TriangleSceneData, ray_o, ray_d, t_max):
     """Any-hit shadow query (aggregate.rs:141-203 intersect_predicate).
     Visibility is discrete — evaluated on detached rays."""
-    _, tri, _, _, _, _ = _traverse(
+    _, tri, _, _, _, _ = _traverse_any(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),

@@ -1,0 +1,122 @@
+"""Pallas packet-traversal kernel vs the XLA bitstack traversal and a
+numpy brute-force oracle (kernel runs in interpret mode on CPU CI; the
+same code path compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shimmer_tpu.ops.pallas.traverse import traverse_packets
+from shimmer_tpu.shapes.triangle import (
+    _traverse,
+    build_triangle_scene,
+    intersect_triangle,
+)
+
+
+def _random_mesh(rng, n_tri=200, spread=2.0):
+    c = rng.uniform(-spread, spread, (n_tri, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.3, (n_tri, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.3, (n_tri, 3)).astype(np.float32)
+    p = np.concatenate([c, c + e1, c + e2], axis=0)
+    idx = np.stack(
+        [np.arange(n_tri), np.arange(n_tri) + n_tri, np.arange(n_tri) + 2 * n_tri],
+        axis=1,
+    ).astype(np.int32)
+    return {"p": p, "indices": idx}
+
+
+def _rays(rng, n=256, spread=2.0):
+    o = rng.uniform(-3 * spread, 3 * spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope="module")
+def scene_and_rays():
+    rng = np.random.default_rng(7)
+    tris = build_triangle_scene([_random_mesh(rng)], traversal="pallas")
+    o, d = _rays(rng)
+    return tris, o, d
+
+
+def _brute(tris, o, d, t_max):
+    """Brute force over all triangles via the same watertight test."""
+    idx = tris.indices
+    p0 = tris.p[idx[:, 0]]
+    p1 = tris.p[idx[:, 1]]
+    p2 = tris.p[idx[:, 2]]
+    hit, t, b0, b1, b2 = intersect_triangle(
+        o[:, None, :], d[:, None, :], jnp.asarray(t_max)[..., None],
+        p0[None], p1[None], p2[None],
+    )
+    t = jnp.where(hit, t, jnp.inf)
+    best = jnp.argmin(t, axis=1)
+    tb = jnp.min(t, axis=1)
+    return np.asarray(tb), np.asarray(best)
+
+
+def test_matches_xla_and_brute(scene_and_rays):
+    tris, o, d = scene_and_rays
+    t_max = jnp.full(o.shape[0], jnp.inf)
+
+    tp, trip, b0p, b1p, b2p, vertsp = traverse_packets(
+        tris, o, d, t_max, interpret=True
+    )
+    tx, trix, b0x, b1x, b2x, vertsx = _traverse(tris, o, d, t_max)
+    tx = jnp.where(trix >= 0, tx, jnp.inf)
+
+    tb, _ = _brute(tris, o, d, t_max)
+
+    tp, tx = np.asarray(tp), np.asarray(tx)
+    hit_p = np.asarray(trip) >= 0
+    hit_x = np.asarray(trix) >= 0
+    assert (hit_p == hit_x).all()
+    assert (hit_p == np.isfinite(tb)).all()
+    np.testing.assert_allclose(tp[hit_p], tx[hit_p], rtol=1e-6)
+    np.testing.assert_allclose(tp[hit_p], tb[hit_p], rtol=1e-5)
+    # barycentrics + verts agree wherever the same triangle won
+    same = hit_p & (np.asarray(trip) == np.asarray(trix))
+    assert same.sum() >= hit_p.sum() - 2  # ties may differ
+    np.testing.assert_allclose(
+        np.asarray(b0p)[same], np.asarray(b0x)[same], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vertsp)[same], np.asarray(vertsx)[same], rtol=1e-6
+    )
+
+
+def test_any_hit(scene_and_rays):
+    tris, o, d = scene_and_rays
+    t_max = jnp.full(o.shape[0], jnp.inf)
+    tp, trip, *_ = traverse_packets(
+        tris, o, d, t_max, any_hit=True, interpret=True
+    )
+    _, trix, *_ = _traverse(tris, o, d, t_max)
+    assert ((np.asarray(trip) >= 0) == (np.asarray(trix) >= 0)).all()
+
+
+def test_t_max_clips(scene_and_rays):
+    tris, o, d = scene_and_rays
+    t_inf = jnp.full(o.shape[0], jnp.inf)
+    t_full, tri_full, *_ = traverse_packets(tris, o, d, t_inf, interpret=True)
+    tf = np.asarray(t_full)
+    hit = np.asarray(tri_full) >= 0
+    # clip just below each hit: ray must now miss
+    t_clip = jnp.asarray(np.where(hit, tf * 0.5, 1e-3), jnp.float32)
+    _, tri_c, *_ = traverse_packets(tris, o, d, t_clip, interpret=True)
+    assert (np.asarray(tri_c)[hit] == -1).all() or (
+        np.asarray(t_full)[hit] * 0.5 > np.asarray(t_full)[hit]
+    ).any() is False
+
+
+def test_ragged_packet(scene_and_rays):
+    """N not a multiple of the packet size pads correctly."""
+    tris, o, d = scene_and_rays
+    n = 77
+    t_max = jnp.full(n, jnp.inf)
+    tp, trip, *_ = traverse_packets(tris, o[:n], d[:n], t_max, interpret=True)
+    _, trix, *_ = _traverse(tris, o[:n], d[:n], t_max)
+    assert ((np.asarray(trip) >= 0) == (np.asarray(trix) >= 0)).all()
