@@ -72,6 +72,11 @@ f_x = jax.jit(lambda o, d, tm: jnp.where(
 
 dt, chk = honest(f_p, lambda r: (o + 1e-5 * r, d, t_max))
 B.log(f"pallas primary {N} rays: {dt*1e3:8.2f} ms  -> {N/dt/1e6:7.2f} Mrays/s")
+steps = jax.jit(lambda o, d, tm: traverse_packets(
+    tris, o, d, tm, return_steps=True)[6][::128].sum())(o, d, t_max)
+n_pk = N // 128
+B.log(f"  steps/packet: {float(steps)/n_pk:.1f}  "
+      f"({dt/n_pk/max(1.0, float(steps)/n_pk)*1e9:.0f} ns/step)")
 dt, chk = honest(f_x, lambda r: (o + 1e-5 * r, d, t_max), reps=1)
 B.log(f"xla    primary {N} rays: {dt*1e3:8.2f} ms  -> {N/dt/1e6:7.2f} Mrays/s")
 

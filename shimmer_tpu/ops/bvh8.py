@@ -191,8 +191,15 @@ def _layout8(h, children, wide_binary):
         rows[r, _COL_COUNT] = 0.0
         meta[r] = int(child_base[wid]) << 4
         for j, (kind, a, cnt, s) in enumerate(slots):
+            # Dilate by the 2-term bf16-split rounding (~2^-18 relative)
+            # so the Pallas kernel's 3-pass internal-row fetch stays
+            # conservative (ops/pallas/traverse.py::fetch).
             l3 = blo[s]
             h3 = bhi[s]
+            eps = np.float32(1e-5)
+            tiny = np.float32(1e-30)
+            l3 = l3 - np.abs(l3) * eps - tiny
+            h3 = h3 + np.abs(h3) * eps + tiny
             rows[r, 0 + j] = l3[0]
             rows[r, 8 + j] = l3[1]
             rows[r, 16 + j] = l3[2]

@@ -63,8 +63,8 @@ def _permute3(x, y, z, is0, is1):
     return ox, oy, oz
 
 
-def _traverse_kernel(meta_ref, rays_ref, tab_ref, out_ref, stack_ref,
-                     *, stack_size):
+def _traverse_kernel(meta_ref, rays_ref, tab_ref, tab_bf_ref, out_ref,
+                     stack_ref, *, stack_size):
     rays = rays_ref[0]                      # (8, P)
     ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
     dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
@@ -88,29 +88,72 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, out_ref, stack_ref,
     sz = 1.0 / pdz_safe
 
     eye = jnp.eye(128, dtype=jnp.float32)
+    # Internal rows only need cols 0:48 (boxes) + 88:96 (valid flags): a
+    # (64,128) selector halves the MXU work, and fetching from the
+    # pre-split hi|lo bf16 table with two 1-pass dots (vs one 6-pass
+    # exact-f32 dot) cuts it ~3x more.  Build-time box dilation
+    # (ops/bvh8.py) covers the ~2^-18 relative error of the 2-term
+    # bf16 split.
+    sel_int = jnp.concatenate(
+        [eye[0:48], eye[88:96], jnp.zeros((8, 128), jnp.float32)], axis=0
+    ).astype(jnp.bfloat16)                              # (64, 128)
+    # Leaf rows need cols 0:80 (9x8 verts + 8 ids), bit-exact: 96 rows
+    # at HIGHEST (6-pass, exact f32).
+    sel_leaf = eye[0:96]                                # (96, 128)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
     pow2 = (1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
 
     zero_v = jnp.zeros((1, P), jnp.float32)
+    active0 = (t_max > 0.0).astype(jnp.float32)
     init = (
-        jnp.int32(1),                        # sp (stack holds root)
+        jnp.int32(1),                        # sp (stack holds root group)
         t_max,                               # t_best
         jnp.full((1, P), -1.0, jnp.float32),  # tri (as float id)
         zero_v, zero_v,                      # b0, b1
         (zero_v,) * 9,                       # winning verts
-        (t_max > 0.0).astype(jnp.float32),   # active (f32: Mosaic cannot
-    )                                        # yield i1 vectors from cond)
-    stack_ref[0] = 0
+        active0,                             # active (f32: Mosaic cannot
+        #                                      yield i1 vectors from cond)
+        jnp.max(active0),                    # alive: scalar mirror of
+        #   any(active), refreshed only on leaf steps — keeps the while
+        #   cond free of a per-step cross-lane reduction.
+    )
+    # Stack of packed groups: base << 8 | live-child bitmask.  Pop peels
+    # the lowest set bit (one load + ~6 scalar ops + one store — no
+    # per-child loop); push is a single store of the whole sibling group.
+    stack_ref[0] = 1                         # base 0 (root row), bits 0b1
 
     def fetch(r):
+        """Exact-f32 row fetch (leaf rows): lane->sublane
+        transpose-broadcast through the MXU, col[i, l] = row[sel_i]."""
         row = tab_ref[pl.ds(r, 1), :]                       # (1, 128)
         b = jnp.broadcast_to(row, (P, 128))
-        # col[i, l] = b[l, i] = row[i]: lane->sublane transpose-broadcast.
         return jax.lax.dot_general(
-            eye, b, (((1,), (1,)), ((), ())),
+            sel_leaf, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                                   # (128, P)
+        )                                                   # (96, P)
+
+    def fetch_bf(r):
+        """hi+lo bf16 row fetch (internal rows, ~2^-18 relative).
+        Rows hold hi<<16|lo packed int32 (bf16 = truncated f32, so each
+        half bitcasts to an exact f32 after masking/shifting)."""
+        word = tab_bf_ref[pl.ds(r, 1), :]                   # (1, 128) i32
+        hi = jax.lax.bitcast_convert_type(
+            word & jnp.int32(-65536), jnp.float32
+        ).astype(jnp.bfloat16)
+        lo = jax.lax.bitcast_convert_type(
+            word << 16, jnp.float32
+        ).astype(jnp.bfloat16)
+        b_hi = jnp.broadcast_to(hi, (P, 128))
+        b_lo = jnp.broadcast_to(lo, (P, 128))
+        dims = (((1,), (1,)), ((), ()))
+        out_hi = jax.lax.dot_general(
+            sel_int, b_hi, dims, preferred_element_type=jnp.float32
+        )
+        out_lo = jax.lax.dot_general(
+            sel_int, b_lo, dims, preferred_element_type=jnp.float32
+        )
+        return out_hi + out_lo                              # (64, P)
 
     def internal_step(col, sp, t_best, active):
         act = active > 0.0
@@ -134,7 +177,7 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, out_ref, stack_ref,
             (tn <= tf * 1.0001)
             & (tf > 0.0)
             & (tn < t_best)
-            & (col[88:96] > 0.0)
+            & (col[48:56] > 0.0)     # valid flags (sel_int rows 48:56)
             & act
         )
         any8 = jnp.any(hit8, axis=1, keepdims=True)          # (8, 1)
@@ -201,46 +244,54 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, out_ref, stack_ref,
             jnp.where(closer, pick(vk), wk) for vk, wk in zip(v, verts)
         )
         active = jnp.where(want_any & closer, 0.0, active)
-        return t_best, tri, b0, b1, verts, active
+        return t_best, tri, b0, b1, verts, active, jnp.max(active)
 
     def body(c):
-        sp, t_best, tri, b0, b1, verts, active = c
-        sp = sp - 1
-        r = stack_ref[sp]
+        sp, t_best, tri, b0, b1, verts, active, alive = c[:8]
+        e = stack_ref[sp - 1]
+        bits_e = e & 255
+        lsb = bits_e & (-bits_e)
+        # j = log2(lsb) for an 8-bit power of two: 3 mask tests.
+        j = (
+            jnp.where((lsb & 0xAA) != 0, 1, 0)
+            + jnp.where((lsb & 0xCC) != 0, 2, 0)
+            + jnp.where((lsb & 0xF0) != 0, 4, 0)
+        )
+        rest = e - lsb
+        stack_ref[sp - 1] = rest
+        sp = sp - jnp.where((rest & 255) == 0, 1, 0)
+        r = (e >> 8) + j
         m = meta_ref[r]
         cnt = m & 15
-        col = fetch(r)
 
         def do_internal(_):
+            col = fetch_bf(r)
             bits = internal_step(col, sp, t_best, active)
-            base = m >> 4
 
-            def push(j, sp_c):
-                do = (bits >> j) & 1
+            @pl.when(bits != 0)
+            def _():
+                stack_ref[sp] = ((m >> 4) << 8) | bits
 
-                @pl.when(do > 0)
-                def _():
-                    stack_ref[sp_c] = base + j
-
-                return sp_c + do
-
-            sp2 = jax.lax.fori_loop(0, 8, push, sp)
-            return sp2, t_best, tri, b0, b1, verts, active
+            sp2 = sp + jnp.where(bits != 0, 1, 0)
+            return sp2, t_best, tri, b0, b1, verts, active, alive
 
         def do_leaf(_):
+            col = fetch(r)
             out = leaf_step(col, cnt, t_best, tri, b0, b1, verts, active)
             return (sp,) + out
 
-        return jax.lax.cond(cnt == 0, do_internal, do_leaf, None)
+        stepped = jax.lax.cond(cnt == 0, do_internal, do_leaf, None)
+        return stepped + (c[8] + 1,)
 
     def cond(c):
-        return (c[0] > 0) & (jnp.max(c[6]) > 0.0)
+        return (c[0] > 0) & (c[7] > 0.0)
 
-    final = jax.lax.while_loop(cond, body, init)
-    _, t_best, tri, b0, b1, verts, _ = final
+    final = jax.lax.while_loop(cond, body, init + (jnp.int32(0),))
+    _, t_best, tri, b0, b1, verts, _, _, n_steps = final
+    steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
     out = jnp.concatenate(
-        [t_best, tri, b0, b1] + list(verts)
-        + [jnp.zeros((_ROWS_OUT - 13, P), jnp.float32)],
+        [t_best, tri, b0, b1] + list(verts) + [steps_v]
+        + [jnp.zeros((_ROWS_OUT - 14, P), jnp.float32)],
         axis=0,
     )
     out_ref[0] = out
@@ -249,7 +300,7 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, out_ref, stack_ref,
 @functools.partial(
     jax.jit, static_argnames=("stack_size", "interpret")
 )
-def _traverse_call(meta, tab, rays, *, stack_size, interpret):
+def _traverse_call(meta, tab, tab_bf, rays, *, stack_size, interpret):
     g = rays.shape[0]
     kern = functools.partial(_traverse_kernel, stack_size=stack_size)
     return pl.pallas_call(
@@ -265,6 +316,9 @@ def _traverse_call(meta, tab, rays, *, stack_size, interpret):
             pl.BlockSpec(
                 tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                tab_bf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, _ROWS_OUT, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -274,11 +328,11 @@ def _traverse_call(meta, tab, rays, *, stack_size, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_TABLE_BYTES + 8 * 1024 * 1024,
         ),
-    )(meta, rays, tab)
+    )(meta, rays, tab, tab_bf)
 
 
 def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
-                     interpret=False):
+                     interpret=False, return_steps=False):
     """Packet-traversal entry: same contract as
     shapes/triangle.py::_traverse (t, tri_idx, b0, b1, b2, verts).
 
@@ -306,8 +360,8 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
     rays = jnp.transpose(lanes.reshape(_ROWS_IN, g, P), (1, 0, 2))
 
     out = _traverse_call(
-        tris.meta, tris.rows8, rays,
-        stack_size=int(tris.stack_depth) * 8 + 16,
+        tris.meta, tris.rows8, tris.rows8_bf, rays,
+        stack_size=int(tris.stack_depth) + 8,
         interpret=interpret,
     )                                                     # (g, 16, P)
     flat = jnp.transpose(out, (1, 0, 2)).reshape(_ROWS_OUT, npad)[:, :n]
@@ -317,4 +371,6 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
     verts = jnp.transpose(flat[4:13], (1, 0))
     b2 = jnp.where(tri >= 0, 1.0 - b0 - b1, 0.0)
     t_best = jnp.where(tri >= 0, t_best, jnp.inf)
+    if return_steps:
+        return t_best, tri, b0, b1, b2, verts, flat[13]
     return t_best, tri, b0, b1, b2, verts

@@ -83,6 +83,8 @@ class TriangleSceneData:
     tri_area: jnp.ndarray      # (T,)
     # Hot-path packed tables:
     rows8: jnp.ndarray       # (R, 128) f32 — see ops/bvh8.py layout
+    rows8_bf: jnp.ndarray    # (R, 128) int32 — hi|lo bf16 split of
+    #                          rows8 for the Pallas 1-pass MXU fetches
     meta: jnp.ndarray        # (R,) int32 leaf_count | child_base << 4
     attr_rows: jnp.ndarray   # (T, 32) f32, BVH order
     light_rows: jnp.ndarray  # (T, 16) f32, original order
@@ -98,6 +100,22 @@ class TriangleSceneData:
     # the vertex pool after the (detached) traversal, so gradients flow to
     # vertex positions.  Costs ~4 extra row gathers per query.
     differentiable_hits: bool = static_field(default=False)
+
+
+def _split_hi_lo(rows: "np.ndarray") -> "np.ndarray":
+    """hi|lo bf16 split of an f32 table, packed hi<<16|lo into int32
+    (x == hi + lo to ~2^-18 relative).  Lets the Pallas kernel fetch
+    internal rows with two 1-pass bf16 MXU dots instead of one 6-pass
+    f32 dot; int32 packing because Mosaic only supports dynamic
+    single-row loads at 32-bit width (ops/pallas/traverse.py)."""
+    import ml_dtypes
+
+    hi = rows.astype(ml_dtypes.bfloat16)
+    lo = (rows - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    word = (hi.view(np.uint16).astype(np.uint32) << 16) | lo.view(
+        np.uint16
+    ).astype(np.uint32)
+    return word.view(np.int32)
 
 
 def build_triangle_scene(
@@ -191,6 +209,7 @@ def build_triangle_scene(
         orig_rev=jnp.asarray(rev),
         tri_area=jnp.asarray(area, jnp.float32),
         rows8=jnp.asarray(bvh8.rows),
+        rows8_bf=jnp.asarray(_split_hi_lo(bvh8.rows)),
         meta=jnp.asarray(bvh8.meta),
         attr_rows=jnp.asarray(attr),
         light_rows=jnp.asarray(light_rows),
@@ -505,7 +524,8 @@ def _use_pallas(tris: TriangleSceneData) -> bool:
         return False
     from shimmer_tpu.ops.pallas.traverse import VMEM_TABLE_BYTES
 
-    fits = tris.rows8.shape[0] * 512 <= VMEM_TABLE_BYTES
+    # f32 rows (512B) + hi|lo bf16 rows (512B) both VMEM-resident.
+    fits = tris.rows8.shape[0] * 1024 <= VMEM_TABLE_BYTES
     if tris.traversal == "pallas":
         return True
     return fits and jax.default_backend() == "tpu"
