@@ -112,6 +112,19 @@ def test_t_max_clips(scene_and_rays):
     ).any() is False
 
 
+def test_sorted_matches_unsorted(scene_and_rays):
+    """sort_rays permutes packets but returns results in input order."""
+    tris, o, d = scene_and_rays
+    t_max = jnp.full(o.shape[0], jnp.inf)
+    ts, tris_s, b0s, *_ = traverse_packets(
+        tris, o, d, t_max, interpret=True, sort_rays=True
+    )
+    tu, tris_u, b0u, *_ = traverse_packets(tris, o, d, t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tris_s), np.asarray(tris_u))
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(tu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b0s), np.asarray(b0u), rtol=1e-6)
+
+
 def test_ragged_packet(scene_and_rays):
     """N not a multiple of the packet size pads correctly."""
     tris, o, d = scene_and_rays
