@@ -12,6 +12,8 @@ differentiable path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -213,9 +215,15 @@ def li_path(
     return_stats: bool = False,
     pixel_spread: float = 0.0,
     alive_mask=None,
+    remat: bool = False,
 ):
     """Production path integrator: NEE + MIS power heuristic + Russian
     roulette (PathIntegrator::li, integrator.rs:730-963).
+
+    remat=True wraps each bounce in jax.checkpoint: reverse-mode AD then
+    stores only the per-bounce carry (~60 floats/lane) and recomputes
+    the bounce internals — activation memory O(1) in max_depth, the
+    scan-with-recompute form of path-replay backprop (SURVEY §7 P5).
 
     ray: (N,)-lane Ray; returns (N, 4) radiance estimate (with
     return_stats: also a dict with 'rays' = total rays traced, the
@@ -258,7 +266,11 @@ def li_path(
     rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
     si = scene_intersect(scene, ray_o, ray_d, jnp.where(alive, INF, -INF))
 
-    for depth in range(max_depth + 1):
+    def _emit(carry):
+        """Emission for the current hit/miss (MIS-weighted)."""
+        (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+         any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+         si, s_state) = carry
         miss = alive & ~si.valid
         l = _infinite_le_with_mis(
             scene, ray_d, swl, beta, p_b, specular, prev_p, prev_ns, l, miss
@@ -267,8 +279,21 @@ def li_path(
             scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, alive
         )
         alive = alive & si.valid
-        if depth == max_depth:
-            break
+        return (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+                any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+                si, s_state)
+
+    def _bounce(depth, carry):
+        """One full bounce: emission, shading/NEE/BSDF/RR, merged trace.
+        Factored so it can be wrapped in jax.checkpoint (remat=True):
+        reverse-mode then stores only the per-bounce carry and replays
+        the bounce — activation memory O(1) in max_depth, the
+        scan-with-recompute form of path-replay backprop (SURVEY §7 P5).
+        """
+        carry = _emit(carry)
+        (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+         any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+         si, s_state) = carry
 
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
@@ -346,7 +371,7 @@ def li_path(
 
         # --- Russian roulette on beta * eta_scale (integrator.rs:877-891) ---
         u_rr, s_state = sampler.get_1d(s_state)
-        if depth > 0:
+        if depth > 0:  # noqa: B023 — depth is a static python int
             rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
             # stop_gradient: the RR survival probability is part of the
             # sampling measure, not the integrand — detaching it keeps the
@@ -376,6 +401,20 @@ def li_path(
         l = l + jnp.where(
             (sh_live & ~occluded)[..., None], beta_nee * ld, 0.0
         )
+        return (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+                any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+                si, s_state)
+
+    carry = (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+             any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+             si, s_state)
+    for depth in range(max_depth):
+        step_fn = functools.partial(_bounce, depth)
+        if remat:
+            step_fn = jax.checkpoint(step_fn)
+        carry = step_fn(carry)
+    carry = _emit(carry)  # emission for the final segment, no scattering
+    l, rays_traced = carry[0], carry[10]
 
     if return_stats:
         return l, {"rays": rays_traced}

@@ -285,3 +285,144 @@ class TestGradients:
 
         g_ad, g_fd = _fd_vs_ad(f_all, jnp.float32(0.0), h=5e-3, rtol=5e-2)
         assert abs(g_ad) > 1e-6, "whole-atlas gradient should be nonzero"
+
+
+class TestProductionScaleGradients:
+    """VERDICT r2 item 3: FD-vs-AD at >= 64x64, depth 5, on the BVH8
+    triangle scene, with remat (the scan-with-recompute form of
+    path-replay backprop) bounding activation memory per bounce."""
+
+    @staticmethod
+    def _tri_scene():
+        from shimmer_tpu.shapes.mesh import TriangleMesh, quad_mesh
+        from shimmer_tpu.shapes.triangle import build_triangle_scene
+
+        cs = get_named_color_space("srgb")
+        ct = CameraTransform(
+            Transform.look_at(
+                jnp.array([0.0, 0.8, -3.2]),
+                jnp.array([0.0, 0.2, 0.0]),
+                jnp.array([0.0, 1.0, 0.0]),
+            )
+        )
+        res = 64
+        cam = PerspectiveCamera(ct, (res, res), fov=42.0)
+        film = RgbFilm((res, res), BoxFilter(), PixelSensor(cs), cs)
+        r2w = cam.camera_transform.render_from_world()
+
+        # Displaced grid mesh (few hundred tris) + floor + light quad.
+        m = 10
+        ys, xs = np.meshgrid(
+            np.linspace(-1, 1, m + 1), np.linspace(-1, 1, m + 1),
+            indexing="ij",
+        )
+        zs = 0.25 * np.sin(2.2 * xs) * np.cos(1.7 * ys)
+        verts = np.stack(
+            [xs.ravel(), 0.35 * zs.ravel() + 0.2, ys.ravel()], axis=-1
+        ).astype(np.float32)
+        ii = np.arange(m * m).reshape(m, m)
+        ii = (ii // m) * (m + 1) + (ii % m)
+        quads = np.stack(
+            [ii, ii + 1, ii + m + 2, ii, ii + m + 2, ii + m + 1], axis=-1
+        ).reshape(-1, 3).astype(np.int32)
+        mesh = TriangleMesh(r2w, quads, verts)
+        floor = quad_mesh(
+            r2w, [-4, -0.4, -4], [4, -0.4, -4], [4, -0.4, 4], [-4, -0.4, 4]
+        )
+        lightq = quad_mesh(
+            r2w, [-0.7, 2.5, -0.7], [0.7, 2.5, -0.7],
+            [0.7, 2.5, 0.7], [-0.7, 2.5, 0.7],
+        )
+        meshes = [
+            mesh.as_scene_dict(0),
+            floor.as_scene_dict(1),
+            lightq.as_scene_dict(2, area_light_id=np.array([0, 1], np.int32)),
+        ]
+        tris = build_triangle_scene(meshes)
+        n_tri = int(np.asarray(tris.orig_indices).shape[0])
+        scene = build_scene(
+            triangles=tris,
+            materials=[
+                {"kind": mtl.DIFFUSE, "reflectance": [0.6, 0.45, 0.35]},
+                {"kind": mtl.DIFFUSE, "reflectance": [0.4, 0.4, 0.45]},
+                {"kind": mtl.DIFFUSE, "reflectance": [0.0, 0.0, 0.0]},
+            ],
+            lights=[
+                {
+                    "kind": lt.AREA,
+                    "spectrum": ConstantSpectrum(1.0),
+                    "scale": 18.0,
+                    "shape_kind": 1,
+                    "shape_idx": n_tri - 2 + k,
+                }
+                for k in range(2)
+            ],
+            render_from_world=r2w,
+        )
+        return scene, cam, film
+
+    @staticmethod
+    def _mean_radiance_big(scene, cam, film, spp=4, max_depth=5,
+                           remat=True):
+        res = film.resolution[0]
+        sampler = IndependentSampler(spp, seed=11)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(res, dtype=jnp.int32),
+            jnp.arange(res, dtype=jnp.int32),
+            indexing="ij",
+        )
+        pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+        def one(sample_index):
+            s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
+            u_lam, s_state = sampler.get_1d(s_state)
+            swl = film.sample_wavelengths(u_lam)
+            u_f, s_state = sampler.get_pixel_2d(s_state)
+            u_l, s_state = sampler.get_2d(s_state)
+            p_film, _, u_l = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
+            ray = cam.generate_ray(p_film, u_l)
+            l = li_path(
+                scene, ray, swl, sampler, s_state, max_depth, remat=remat
+            )
+            return jnp.mean(l)
+
+        vals = jax.lax.map(one, jnp.arange(spp, dtype=jnp.uint32))
+        return jnp.mean(vals)
+
+    def test_remat_matches_nonremat(self):
+        """remat must not change the forward value or the gradient."""
+        scene, cam, film = self._tri_scene()
+
+        def f(theta, remat):
+            mats = dataclasses.replace(
+                scene.materials,
+                reflectance=scene.materials.reflectance.at[0, 1].set(theta),
+            )
+            return self._mean_radiance_big(
+                dataclasses.replace(scene, materials=mats), cam, film,
+                spp=1, max_depth=3, remat=remat,
+            )
+
+        theta0 = jnp.float32(0.45)
+        v0, g0 = jax.value_and_grad(lambda t: f(t, False))(theta0)
+        v1, g1 = jax.value_and_grad(lambda t: f(t, True))(theta0)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        np.testing.assert_allclose(float(g0), float(g1), rtol=1e-5)
+
+    @pytest.mark.slow
+    def test_reflectance_64px_depth5(self):
+        """FD-vs-AD at 64x64, depth 5, 4 spp on the triangle scene."""
+        scene, cam, film = self._tri_scene()
+
+        def f(theta):
+            mats = dataclasses.replace(
+                scene.materials,
+                reflectance=scene.materials.reflectance.at[0, 1].set(theta),
+            )
+            return self._mean_radiance_big(
+                dataclasses.replace(scene, materials=mats), cam, film
+            )
+
+        theta0 = jnp.float32(0.45)
+        g_ad, g_fd = _fd_vs_ad(f, theta0, h=1e-2, rtol=3e-2)
+        assert abs(g_ad) > 1e-6
