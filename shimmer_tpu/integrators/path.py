@@ -79,6 +79,7 @@ def _area_le_with_mis(scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, a
         scene.light_kinds,
         tri_pdf=_tri_pdf(scene),
         env=scene.env,
+        patch_pdf=_patch_pdf(scene),
     )
     w = jnp.where(specular, 1.0, power_heuristic(1.0, p_b, 1.0, pdf_l))
     return l + jnp.where(has_light[..., None], beta * w[..., None] * le, 0.0)
@@ -127,6 +128,26 @@ def _tri_pdf(scene):
     )
 
 
+def _patch_sampler(scene):
+    if not scene.has_patches:
+        return None
+    from shimmer_tpu.shapes.bilinear import bilinear_light_sample
+
+    return lambda sidx, ref_p, ref_ns, u: bilinear_light_sample(
+        scene.patches, sidx, ref_p, ref_ns, u
+    )
+
+
+def _patch_pdf(scene):
+    if not scene.has_patches:
+        return None
+    from shimmer_tpu.shapes.bilinear import bilinear_light_pdf
+
+    return lambda sidx, ref_p, ref_ns, wi, si_p, si_n: bilinear_light_pdf(
+        scene.patches, sidx, ref_p, ref_ns, wi, si_p, si_n
+    )
+
+
 def sample_ld_prepare(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
     """Next-event estimation with light-side MIS, *deferred visibility*
     (PathIntegrator::sample_ld, integrator.rs:897-963).
@@ -149,6 +170,7 @@ def sample_ld_prepare(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
         scene.light_kinds,
         tri_sampler=_tri_sampler(scene),
         env=scene.env,
+        patch_sampler=_patch_sampler(scene),
     )
     f = bsdf_f(
         scene.materials,
@@ -491,6 +513,7 @@ def li_simple_path(
                 scene.light_kinds,
                 tri_sampler=_tri_sampler(scene),
                 env=scene.env,
+                patch_sampler=_patch_sampler(scene),
             )
             f = bsdf_f(
                 scene.materials,

@@ -51,7 +51,8 @@ class LightData:
     cos_falloff_start: jnp.ndarray  # (L,)
     cos_falloff_end: jnp.ndarray    # (L,)
     shape_idx: jnp.ndarray     # (L,) int32 — area: index into sphere/tri table
-    shape_kind: jnp.ndarray    # (L,) int32 — 0 sphere, 1 triangle
+    shape_kind: jnp.ndarray    # (L,) int32 — 0 sphere, 1 triangle,
+    #                              2 bilinear patch
     two_sided: jnp.ndarray     # (L,) bool
     scene_radius: jnp.ndarray  # () — for infinite/distant pdf normalization
 
@@ -80,6 +81,7 @@ def sample_li(
     kinds_present: tuple,
     tri_sampler=None,
     env=None,
+    patch_sampler=None,
 ) -> LightLiSample:
     """Sample incident direction from light ``light_idx`` per lane
     (LightI::sample_li, light.rs:21-82).
@@ -168,6 +170,16 @@ def sample_li(
             l = jnp.where(emits[..., None], spec, 0.0)
             valid = (pdf > 0.0) & (distance_squared(p, ref_p) > 0.0) & emits
             out = sel(tm, l, wi, pdf, p, n, valid, out)
+        if patch_sampler is not None:
+            pm = m & (lights.shape_kind[light_idx] == 2)
+            p, n, pdf = patch_sampler(
+                lights.shape_idx[light_idx], ref_p, ref_ns, u
+            )
+            wi = normalize(p - ref_p)
+            emits = lights.two_sided[light_idx] | (dot(n, -wi) > 0.0)
+            l = jnp.where(emits[..., None], spec, 0.0)
+            valid = (pdf > 0.0) & (distance_squared(p, ref_p) > 0.0) & emits
+            out = sel(pm, l, wi, pdf, p, n, valid, out)
 
     if UNIFORM_INFINITE in kinds_present:
         from shimmer_tpu.ops.sampling import (
@@ -203,6 +215,7 @@ def pdf_li(
     kinds_present: tuple,
     tri_pdf=None,
     env=None,
+    patch_pdf=None,
 ):
     """Solid-angle pdf that sample_li would have produced direction wi
     (LightI::pdf_li).  For area lights the hit point si_p/si_n on the light
@@ -218,6 +231,12 @@ def pdf_li(
     if AREA in kinds_present and tri_pdf is not None:
         m = (kind == AREA) & (lights.shape_kind[light_idx] == 1)
         p = tri_pdf(lights.shape_idx[light_idx], ref_p, ref_ns, wi, si_p, si_n)
+        pdf = jnp.where(m, p, pdf)
+    if AREA in kinds_present and patch_pdf is not None:
+        m = (kind == AREA) & (lights.shape_kind[light_idx] == 2)
+        p = patch_pdf(
+            lights.shape_idx[light_idx], ref_p, ref_ns, wi, si_p, si_n
+        )
         pdf = jnp.where(m, p, pdf)
     if UNIFORM_INFINITE in kinds_present:
         from shimmer_tpu.ops.sampling import UNIFORM_SPHERE_PDF

@@ -32,6 +32,7 @@ class Scene:
     spectra_table: jnp.ndarray | None  # (K, 471) shared dense spectra (IORs…)
     env: object | None            # EnvLightData (lights/env.py)
     textures: object | None       # TextureTable (textures/textures.py)
+    patches: object | None = None  # BilinearPatchData (shapes/bilinear.py)
     # --- static census ---
     material_kinds: tuple = static_field(default=())
     light_kinds: tuple = static_field(default=())
@@ -40,6 +41,7 @@ class Scene:
     image_infinite_indices: tuple = static_field(default=())
     has_spheres: bool = static_field(default=False)
     has_triangles: bool = static_field(default=False)
+    has_patches: bool = static_field(default=False)
     has_normal_maps: bool = static_field(default=False)
     has_bump_maps: bool = static_field(default=False)
 
@@ -62,6 +64,11 @@ def scene_intersect(scene: Scene, ray_o, ray_d, t_max, want_any=False):
             scene.triangles, ray_o, ray_d, t_max, want_any=want_any
         )
         si = si_t if si is None else _closer(si, si_t)
+    if scene.has_patches:
+        from shimmer_tpu.shapes.bilinear import bilinear_intersect
+
+        si_p = bilinear_intersect(scene.patches, ray_o, ray_d, t_max)
+        si = si_p if si is None else _closer(si, si_p)
     assert si is not None, "scene has no geometry"
     return si
 
@@ -89,6 +96,10 @@ def scene_intersect_predicate(scene: Scene, ray_o, ray_d, t_max):
         from shimmer_tpu.shapes.triangle import triangle_scene_occluded
 
         hit = hit | triangle_scene_occluded(scene.triangles, ray_o, ray_d, t_max)
+    if scene.has_patches:
+        from shimmer_tpu.shapes.bilinear import bilinear_occluded
+
+        hit = hit | bilinear_occluded(scene.patches, ray_o, ray_d, t_max)
     return hit
 
 

@@ -28,6 +28,7 @@ from shimmer_tpu.spectra.spectrum import (
 def build_scene(
     spheres: list[dict] | None = None,
     triangles=None,
+    patches: list[dict] | None = None,
     materials: list[dict] | None = None,
     lights: list[dict] | None = None,
     colorspace: RgbColorSpace | None = None,
@@ -77,6 +78,12 @@ def build_scene(
     )
 
     sphere_data = make_sphere_data(spheres) if spheres else None
+    if patches:
+        from shimmer_tpu.shapes.bilinear import make_bilinear_data
+
+        patch_data = make_bilinear_data(patches, render_from_object=r_from_w)
+    else:
+        patch_data = None
 
     # Scene bounds radius for infinite lights.
     if spheres:
@@ -138,6 +145,8 @@ def build_scene(
         if ld["kind"] == lt.AREA:
             if ld.get("shape_kind", 0) == 0 and sphere_data is not None:
                 area = float(sphere_area(sphere_data)[ld["shape_idx"]])
+            elif ld.get("shape_kind", 0) == 2 and patch_data is not None:
+                area = float(np.asarray(patch_data.area)[ld["shape_idx"]])
             elif triangles is not None:
                 area = float(np.asarray(triangles.tri_area)[ld["shape_idx"]])
             else:
@@ -170,6 +179,7 @@ def build_scene(
     return Scene(
         spheres=sphere_data,
         triangles=triangles,
+        patches=patch_data,
         materials=mat_table,
         lights=light_data,
         light_sample_weights=jnp.asarray(weights[:n_l] if n_l else np.ones(0, np.float32)),
@@ -189,6 +199,7 @@ def build_scene(
         ),
         has_spheres=sphere_data is not None,
         has_triangles=triangles is not None,
+        has_patches=patch_data is not None,
         has_normal_maps=any(
             m.get("normal_tex", -1) >= 0 for m in mat_dicts
         ),
