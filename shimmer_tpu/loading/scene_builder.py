@@ -494,6 +494,7 @@ class SceneBuilder:
         # -- shapes + area lights --
         sphere_dicts = []
         mesh_dicts = []
+        patch_dicts = []
         light_dicts = []
         tri_count = 0
         for rec in self.shapes:
@@ -526,7 +527,42 @@ class SceneBuilder:
                             rec["area_light"], 0, len(sphere_dicts) - 1
                         )
                     )
-            elif rec["kind"] in ("trianglemesh", "plymesh", "bilinearmesh"):
+            elif rec["kind"] == "bilinearmesh":
+                # True bilinear patches (shapes/bilinear.py; reference
+                # src/shape/bilinear_patch.rs).  pbrt-v4 vertex order per
+                # patch: p00 p10 p01 p11.
+                p = pd.get_point3_array("P")
+                q = pd.get_int_array("indices")
+                if q is None:
+                    q = np.arange(len(p), dtype=np.int32)
+                q = q.reshape(-1, 4)
+                uvp = pd.get_point2_array("uv")
+                if uvp is None:
+                    uvp = pd.get_point2_array("st")
+                for pi in range(q.shape[0]):
+                    if rec["area_light"] is not None:
+                        area_light_id = len(light_dicts)
+                        light_dicts.append(
+                            self._area_light_dict(
+                                rec["area_light"], 2, len(patch_dicts)
+                            )
+                        )
+                    patch_dicts.append(
+                        {
+                            "p00": p[q[pi, 0]],
+                            "p10": p[q[pi, 1]],
+                            "p01": p[q[pi, 2]],
+                            "p11": p[q[pi, 3]],
+                            "uv": (
+                                uvp[q[pi]] if uvp is not None else None
+                            ),
+                            "object_to_world": _np_transform(ctm),
+                            "reverse": rec["reverse_orientation"],
+                            "material_id": mat_idx,
+                            "area_light_id": area_light_id,
+                        }
+                    )
+            elif rec["kind"] in ("trianglemesh", "plymesh"):
                 if rec["kind"] == "plymesh":
                     fname2 = pd.get_one_string("filename", "")
                     path = Path(fname2)
@@ -541,10 +577,6 @@ class SceneBuilder:
                     uv = pd.get_point2_array("uv")
                     if uv is None:
                         uv = pd.get_point2_array("st")
-                    if rec["kind"] == "bilinearmesh":
-                        # quads → triangle pairs (true patches later)
-                        q = pd.get_int_array("indices").reshape(-1, 4)
-                        idx = np.concatenate([q[:, [0, 1, 3]], q[:, [1, 2, 3]]])
                 mesh = TriangleMesh(
                     _np_transform(o2r),
                     idx,
@@ -685,6 +717,7 @@ class SceneBuilder:
         scene = build_scene(
             spheres=sphere_dicts,
             triangles=tris,
+            patches=patch_dicts or None,
             materials=mat_dicts,
             lights=light_dicts,
             colorspace=self.colorspace,

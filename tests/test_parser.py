@@ -216,3 +216,48 @@ class TestCreate:
         img = Image.read(tmp_path / "out.pfm")
         assert img.resolution == (32, 32)
         assert np.isfinite(img.data).all()
+
+
+class TestBilinearMesh:
+    def test_bilinearmesh_parses_to_patches(self):
+        b = SceneBuilder()
+        parse_str(
+            textwrap.dedent(
+                """
+                Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+                Sampler "independent" "integer pixelsamples" [2]
+                Integrator "path" "integer maxdepth" [2]
+                Camera "perspective" "float fov" [45]
+                WorldBegin
+                Material "diffuse" "rgb reflectance" [0.5 0.5 0.5]
+                # quad facing +z at z=2 (p00 p10 p01 p11 order)
+                Shape "bilinearmesh"
+                    "integer indices" [0 1 2 3]
+                    "point3 P" [-1 -1 2   1 -1 2   -1 1 2   1 1 2]
+                AttributeBegin
+                  AreaLightSource "diffuse" "rgb L" [5 5 5]
+                  Shape "bilinearmesh"
+                      "integer indices" [0 1 2 3]
+                      "point3 P" [-0.5 2 -0.5  0.5 2 -0.5  -0.5 2 0.5  0.5 2 0.5]
+                AttributeEnd
+                LightSource "infinite" "rgb L" [0.2 0.2 0.2]
+                """
+            ),
+            b,
+        )
+        job = b.create()
+        assert job.scene.has_patches
+        assert int(job.scene.patches.p00.shape[0]) == 2
+        # light 0 is the patch area light (shape_kind 2 -> patch idx 1)
+        import numpy as np
+
+        sk = np.asarray(job.scene.lights.shape_kind)
+        assert (sk == 2).sum() == 1
+        from shimmer_tpu.render import render
+
+        img, _ = render(
+            job.scene, job.camera, job.film, job.sampler,
+            integrator="path", spp=2, max_depth=2,
+        )
+        img = np.asarray(img)
+        assert np.isfinite(img).all() and img.mean() > 0
