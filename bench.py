@@ -213,43 +213,51 @@ def main():
     )
 
     block = int(os.environ.get("BENCH_BLOCK", str(1 << 16)))
-    if os.environ.get("BENCH_MEGAKERNEL"):
-        wave_fn = make_wave_renderer(
+    megakernel = bool(os.environ.get("BENCH_MEGAKERNEL"))
+    if megakernel:
+        wave_fn_raw = make_wave_renderer(
             scene, cam, film, sampler, "path", max_depth=max_depth
         )
+
+        def wave_fn(state, idx, px, valid):
+            return wave_fn_raw(state, idx, px, valid), None
+
     else:
+        # with_stats: the wave returns its own exact traced-ray count —
+        # no separate 69s ray-count probe (VERDICT r2 item 4).
         wave_fn = make_wavefront_renderer(
-            scene, cam, film, sampler, max_depth=max_depth
+            scene, cam, film, sampler, max_depth=max_depth, with_stats=True
         )
     blocks, valids = pixel_blocks(film, block)
     n_blocks = blocks.shape[0]
 
-    # Ray-count instrumentation: 1 spp on ONE block; only valid lanes
-    # carry work (alive_mask), so padded lanes don't inflate the count.
-    @jax.jit
-    def count_rays(sample_index, pixel_xy, pixel_valid):
-        s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
-        u_lam, s_state = sampler.get_1d(s_state)
-        swl = film.sample_wavelengths(u_lam)
-        u_f, s_state = sampler.get_pixel_2d(s_state)
-        u_l, s_state = sampler.get_2d(s_state)
-        p_film, wt, _ = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
-        ray = cam.generate_ray(p_film, u_l)
-        _, stats = li_path(
-            scene, ray, swl, sampler, s_state, max_depth,
-            return_stats=True, alive_mask=pixel_valid,
-        )
-        return stats["rays"]
+    rays_per_sample = None
+    if megakernel:
+        # Legacy path: 1-spp probe on one block to estimate rays/sample.
+        @jax.jit
+        def count_rays(sample_index, pixel_xy, pixel_valid):
+            s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
+            u_lam, s_state = sampler.get_1d(s_state)
+            swl = film.sample_wavelengths(u_lam)
+            u_f, s_state = sampler.get_pixel_2d(s_state)
+            u_l, s_state = sampler.get_2d(s_state)
+            p_film, wt, _ = get_camera_sample(film.filter, pixel_xy, u_f, u_l)
+            ray = cam.generate_ray(p_film, u_l)
+            _, stats = li_path(
+                scene, ray, swl, sampler, s_state, max_depth,
+                return_stats=True, alive_mask=pixel_valid,
+            )
+            return stats["rays"]
 
-    t0 = time.time()
-    rays_block0 = float(count_rays(jnp.uint32(0), blocks[0], valids[0]))
-    valid0 = float(np.asarray(valids[0]).sum())
-    rays_per_sample = rays_block0 / max(valid0, 1.0) * (w * h)
-    log(
-        f"ray-count probe: {time.time()-t0:.1f}s — "
-        f"{rays_per_sample/1e6:.2f}M rays/spp "
-        f"({rays_per_sample/(w*h):.2f} rays/pixel)"
-    )
+        t0 = time.time()
+        rays_block0 = float(count_rays(jnp.uint32(0), blocks[0], valids[0]))
+        valid0 = float(np.asarray(valids[0]).sum())
+        rays_per_sample = rays_block0 / max(valid0, 1.0) * (w * h)
+        log(
+            f"ray-count probe: {time.time()-t0:.1f}s — "
+            f"{rays_per_sample/1e6:.2f}M rays/spp "
+            f"({rays_per_sample/(w*h):.2f} rays/pixel)"
+        )
 
     # Warmup (compile) then timed waves.  One device dispatch per
     # (block, wave): bounded program size — the round-1 whole-wave scan
@@ -257,14 +265,14 @@ def main():
     state = film.init_state()
     idx0 = jnp.arange(wave_spp, dtype=jnp.uint32)
     t0 = time.time()
-    state = wave_fn(state, idx0, blocks[0], valids[0])
+    state, _stats0 = wave_fn(state, idx0, blocks[0], valids[0])
     jax.block_until_ready(state)
     log(f"wave compile+first block: {time.time()-t0:.1f}s")
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            state = wave_fn(state, idx0, blocks[1 % n_blocks], valids[1 % n_blocks])
+            state, _ = wave_fn(state, idx0, blocks[1 % n_blocks], valids[1 % n_blocks])
             jax.block_until_ready(state)
         log(f"profiler trace written to {profile_dir}")
 
@@ -272,12 +280,15 @@ def main():
     done = 0
     t0 = time.time()
     first_wave_s = None
+    ray_stats = []
     while done < spp:
         n = min(wave_spp, spp - done)
         idx = jnp.arange(done, done + n, dtype=jnp.uint32)
         tw = time.time()
         for b in range(n_blocks):
-            state = wave_fn(state, idx, blocks[b], valids[b])
+            state, st = wave_fn(state, idx, blocks[b], valids[b])
+            if st is not None:
+                ray_stats.append(st["rays"])
         jax.block_until_ready(state)
         if first_wave_s is None:
             first_wave_s = time.time() - tw
@@ -285,7 +296,14 @@ def main():
         done += n
         timed_spp += n
     render_s = time.time() - t0
-    total_rays = rays_per_sample * timed_spp
+    if ray_stats:
+        total_rays = float(np.sum(np.asarray(jnp.stack(ray_stats))))
+        log(
+            f"traced {total_rays/1e6:.1f}M rays "
+            f"({total_rays/(w*h*timed_spp):.2f} rays/pixel-sample)"
+        )
+    else:
+        total_rays = rays_per_sample * timed_spp
     mrays = total_rays / render_s / 1e6
 
     img = film.get_image(state)

@@ -189,10 +189,13 @@ def make_wavefront_renderer(
     max_depth: int = 5,
     regularize: bool = False,
     use_visible_wavelengths: bool = True,
+    with_stats: bool = False,
 ):
     """Jitted regenerating-wavefront wave function (the production path;
     see integrators/wavefront.py).  Signature matches make_wave_renderer:
-    (film_state, sample_indices, pixel_xy, pixel_valid) -> film_state."""
+    (film_state, sample_indices, pixel_xy, pixel_valid) -> film_state
+    (or (film_state, stats) when with_stats — 'rays' is the exact traced
+    ray count of the wave, which replaces any separate counting probe)."""
     from shimmer_tpu.integrators.wavefront import render_wave_wavefront
 
     spread = getattr(camera, "pixel_spread", 0.0)
@@ -215,6 +218,7 @@ def make_wavefront_renderer(
             regularize=regularize,
             pixel_spread=spread,
             use_visible_wavelengths=use_visible_wavelengths,
+            return_stats=with_stats,
         )
 
     return jax.jit(render_samples)
