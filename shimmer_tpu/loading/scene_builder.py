@@ -139,6 +139,7 @@ class SceneBuilder:
         self.spectrum_textures: dict[str, int] = {}
         self.tex_builder = TextureBuilder()
         self.objects: dict[str, list[dict]] = {}
+        self.instances: list[tuple[str, "np.ndarray"]] = []
         self.current_object: str | None = None
         self.env_spec = None
 
@@ -235,11 +236,16 @@ class SceneBuilder:
     def object_instance(self, name, loc):
         if name not in self.objects:
             raise ValueError(f"{loc}: unknown object {name!r}")
-        # Flatten: emit the recorded shapes with instance CTM ∘ recorded CTM.
+        # Two-level BVH: record the instance; shapes stay shared
+        # (scene.rs:1984 ObjectInstance -> shapes/instanced.py; no longer
+        # flattened).  Non-triangle shapes inside the object fall back to
+        # flattening below.
+        self.instances.append((name, self.gs.ctm.copy()))
         for rec in self.objects[name]:
-            rec = dict(rec)
-            rec["ctm"] = self.gs.ctm @ rec["ctm_relative"]
-            self.shapes.append(rec)
+            if rec["kind"] not in ("trianglemesh", "plymesh"):
+                rec = dict(rec)
+                rec["ctm"] = self.gs.ctm @ rec["ctm_relative"]
+                self.shapes.append(rec)
 
     def reverse_orientation(self, loc):
         self.gs.reverse_orientation = not self.gs.reverse_orientation
@@ -714,10 +720,67 @@ class SceneBuilder:
         light_sampler = ipd.get_one_string("lightsampler", "uniform")
         if light_sampler == "bvh":
             light_sampler = "power"
+        # -- instanced objects (two-level BVH, shapes/instanced.py) --
+        instanced = None
+        if self.instances:
+            from shimmer_tpu.shapes.instanced import build_instanced
+
+            used = []
+            obj_id = {}
+            for name, _ in self.instances:
+                if name not in obj_id:
+                    obj_id[name] = len(used)
+                    used.append(name)
+            obj_meshes = []
+            for name in used:
+                meshes_o = []
+                for rec in self.objects[name]:
+                    if rec["kind"] not in ("trianglemesh", "plymesh"):
+                        continue
+                    pd2 = rec["pd"]
+                    if rec["kind"] == "plymesh":
+                        fname2 = pd2.get_one_string("filename", "")
+                        path = Path(fname2)
+                        if not path.is_absolute() and self.search_dir:
+                            path = Path(self.search_dir) / path
+                        data = read_ply(path)
+                        p2, idx2 = data["p"], data["indices"]
+                        nrm2, uv2 = data["n"], data["uv"]
+                    else:
+                        p2 = pd2.get_point3_array("P")
+                        idx2 = pd2.get_int_array("indices").reshape(-1, 3)
+                        nrm2 = pd2.get_point3_array("N")
+                        uv2 = pd2.get_point2_array("uv")
+                        if uv2 is None:
+                            uv2 = pd2.get_point2_array("st")
+                    m_idx2 = (
+                        rec["material"]
+                        if isinstance(rec["material"], int) and rec["material"] >= 0
+                        else 0
+                    )
+                    mesh_o = TriangleMesh(
+                        _np_transform(rec["ctm_relative"]),
+                        idx2,
+                        p2,
+                        n=nrm2,
+                        uv=uv2,
+                        reverse_orientation=rec["reverse_orientation"],
+                    )
+                    meshes_o.append(mesh_o.as_scene_dict(m_idx2, -1))
+                obj_meshes.append(meshes_o)
+            instanced = build_instanced(
+                obj_meshes,
+                [
+                    (obj_id[name], r2w_np @ ctm)
+                    for name, ctm in self.instances
+                ],
+            )
+
         scene = build_scene(
             spheres=sphere_dicts,
             triangles=tris,
             patches=patch_dicts or None,
+            instanced=instanced,
             materials=mat_dicts,
             lights=light_dicts,
             colorspace=self.colorspace,

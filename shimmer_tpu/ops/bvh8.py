@@ -191,15 +191,8 @@ def _layout8(h, children, wide_binary):
         rows[r, _COL_COUNT] = 0.0
         meta[r] = int(child_base[wid]) << 4
         for j, (kind, a, cnt, s) in enumerate(slots):
-            # Dilate by the 2-term bf16-split rounding (~2^-18 relative)
-            # so the Pallas kernel's 3-pass internal-row fetch stays
-            # conservative (ops/pallas/traverse.py::fetch).
             l3 = blo[s]
             h3 = bhi[s]
-            eps = np.float32(1e-5)
-            tiny = np.float32(1e-30)
-            l3 = l3 - np.abs(l3) * eps - tiny
-            h3 = h3 + np.abs(h3) * eps + tiny
             rows[r, 0 + j] = l3[0]
             rows[r, 8 + j] = l3[1]
             rows[r, 16 + j] = l3[2]
@@ -255,6 +248,39 @@ def pack_bvh8(lo, hi, tri_p, builder: str = "auto") -> BVH8Arrays:
     return BVH8Arrays(
         rows=rows, meta=arrs.meta, perm=perm, n_rows=arrs.n_rows,
         max_depth=arrs.max_depth,
+    )
+
+
+def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
+    """Repack node rows into sublane orientation for the Pallas kernel:
+    8 nodes per (8, 128) f32 tile, node r at lanes ``16*(r&7) + c`` of
+    tile ``r >> 3``, slot j on sublane j.  Fields c:
+
+    * internal: c0..c5 = lox loy loz hix hiy hiz, c6 = slot-valid flag
+    * leaf:     c0..c8 = p0x..p2z, c9 = BVH-sorted triangle id
+
+    This layout makes the per-visit fetch a tile-aligned VMEM load plus
+    a dynamic lane roll — no MXU transpose, no precision split
+    (ops/pallas/traverse.py::_fetch_tile).
+    """
+    n_rows = rows.shape[0]
+    rr = rows.reshape(n_rows, 16, 8)             # [r, colgroup, slot]
+    fields = np.ascontiguousarray(
+        rr[:, 0:16, :].transpose(0, 2, 1)
+    )                                            # [r, slot, c] = rr[r,c,j]
+    is_int = (meta & 15) == 0
+    fields[is_int, :, 6] = rr[is_int, 11, :]     # valid flags (cols 88:96)
+    fields[:, :, 10:] = 0.0
+    r8 = -(-n_rows // 8)
+    pad = r8 * 8 - n_rows
+    if pad:
+        fields = np.concatenate(
+            [fields, np.zeros((pad, 8, 16), np.float32)], axis=0
+        )
+    return np.ascontiguousarray(
+        fields.reshape(r8, 8, 8, 16).transpose(0, 2, 1, 3).reshape(
+            r8, 8, 128
+        )
     )
 
 

@@ -7,32 +7,42 @@ measured hardware constraints rather than translated:
 
 * Per-lane divergent row gathers are the XLA path's bottleneck: the TPU
   has no vector-indexed load, so an (N,)-indexed gather from HBM costs
-  ~0.4 ms per traversal step at 131k lanes, and in-kernel scalar-loop
-  emulation costs ~20 ns/row (measured, experiments/exp_pallas_gather2).
-* A *scalar*-indexed fetch of one BVH row from a VMEM-resident table is
-  nearly free, and the VPU can test that row's 8 child boxes (or 8 leaf
-  triangles) against 128 rays as an (8, 128) tile in ~1 op/row.
+  ~0.4 ms per traversal step at 131k lanes.
+* Inside one kernel a *scalar*-indexed node fetch from a VMEM-resident
+  table is cheap, and the VPU tests that node's 8 child boxes (or 8
+  leaf triangles) against 128 rays as one (8, 128) vreg tile.
 
-So the kernel traverses in *packets*: 128 rays share one traversal stack
-(classic packet tracing) and every popped node is tested against all
-lanes at once.  The whole loop lives in one kernel — traversal state in
-registers, the node table in VMEM — so per-step XLA dispatch, HBM state
-traffic and the lock-step while_loop sync all disappear.  Host
-simulation on the bench scene (experiments/exp_union_sim.py) shows the
-shared-stack union visits only ~1.6x the per-ray node count for coherent
-camera packets and amortizes to ~3 visits/ray even for incoherent bounce
-packets.
+So the kernel traverses in *packets*: 128 rays share one traversal
+stack (classic packet tracing) and every popped node is tested against
+all lanes at once.  The design is driven by three on-chip measurements
+(experiments/exp_ablate_step.py, exp_overhead2.py):
 
-Node fetch: rows are (128,) f32 in lane orientation; per-slot broadcast
-needs them on *sublanes*.  The lane->sublane move uses the MXU: with
-B[l, k] = row[k] (a free sublane broadcast), ``dot(I, B, contract on k)``
-yields col[i, l] = row[i] — the transposed row broadcast across all
-lanes in one small matmul (measured fastest of four strategies,
-experiments/exp_fetch_honest.py).  Identity-matrix matmuls are exact in
-f32 on the MXU, but NaN/Inf would poison them — hence the finite packed
-rows + explicit slot-valid flags (ops/bvh8.py cols 88:96).
+1. The scalar pop/push chain is ~6 ns/step; ALL the cost is in the
+   vector work and its latency.  Stack entries pack ``base<<8 | bits``
+   so a pop is a lowest-set-bit peel and a push one scalar store.
+2. Any MXU-transpose node fetch costs ~200 ns of unhidden latency per
+   step.  The node table is therefore stored pre-transposed:
+   ``ops/bvh8.py::pack_tiles8`` packs 8 nodes per (8, 128) f32 tile,
+   slot j on sublane j, node r's fields on lanes ``16*(r&7)+c``; a
+   visit is a tile-aligned VMEM load + one dynamic lane roll + static
+   lane broadcasts — pure VPU, exact f32.
+3. A single traversal chain is latency-bound (~290 ns/visit); four
+   independent chains in the same loop body pipeline to ~90 ns/visit.
+   The kernel therefore interleaves K=4 packets per grid step, each
+   with its own stack/bitmask state, sharing the while loop.
 
-Scenes whose row table exceeds the VMEM budget fall back to the XLA
+Traversal state stays minimal — per packet only (t_best, tri, active)
+vectors — and the winner's vertices/barycentrics are re-derived OUTSIDE
+the kernel by re-running the same watertight intersection on the
+winning triangle (one (N,) gather + vectorized math), which keeps vreg
+pressure low enough for the interleave to pipeline.
+
+The node-tile table (HBM->VMEM) and meta array (HBM->SMEM) are copied
+ONCE on the first grid step into persistent scratch: passing them as
+grid-blocked operands re-copies them every grid step (measured
+7.1 us/packet for the 71 KB meta SMEM operand alone).
+
+Scenes whose tile table exceeds the VMEM budget fall back to the XLA
 traversal (shapes/triangle.py::_traverse).
 """
 
@@ -47,9 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from shimmer_tpu.ops.math import difference_of_products
 
+import os
+
 P = 128                      # rays per packet (one vreg lane dim)
+# Interleaved packets per grid step (env knob for on-chip tuning).
+K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "2"))
 _ROWS_IN = 8                 # input rows per packet: o3 d3 tmax anyflag
-_ROWS_OUT = 16               # t, tri, b0, b1, verts9, pad
+_ROWS_OUT = 8                # t, tri, steps, pad
 # VMEM budget for the node table (v5e); larger scenes use the XLA path.
 VMEM_TABLE_BYTES = 48 * 1024 * 1024
 
@@ -63,108 +77,62 @@ def _permute3(x, y, z, is0, is1):
     return ox, oy, oz
 
 
-def _traverse_kernel(meta_ref, rays_ref, tab_ref, tab_bf_ref, out_ref,
-                     stack_ref, *, stack_size):
-    rays = rays_ref[0]                      # (8, P)
-    ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
-    dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
-    t_max = rays[6:7]
-    want_any = rays[7:8] > 0.0
+def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
+                     stack_ref, tab_ref, meta_ref, tab_sem, meta_sem,
+                     *, stack_size, k_packets, n_rows):
+    K = k_packets
 
-    inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-    inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-    inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        tab_copy = pltpu.make_async_copy(tab_hbm_ref, tab_ref, tab_sem)
+        meta_copy = pltpu.make_async_copy(
+            meta_hbm_ref, meta_ref, meta_sem
+        )
+        tab_copy.start()
+        meta_copy.start()
+        tab_copy.wait()
+        meta_copy.wait()
 
-    # Watertight precompute (triangle.rs:173-228): permute so |d_z| is
-    # max (argmax first-max tiebreak), shear to align the ray with +z.
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    is0 = (adx >= ady) & (adx >= adz)
-    is1 = (~is0) & (ady >= adz)
-    pdx, pdy, pdz = _permute3(dx, dy, dz, is0, is1)
-    dz_ok = pdz != 0.0
-    pdz_safe = jnp.where(dz_ok, pdz, 1.0)
-    sx = -pdx / pdz_safe
-    sy = -pdy / pdz_safe
-    sz = 1.0 / pdz_safe
-
-    eye = jnp.eye(128, dtype=jnp.float32)
-    # Internal rows only need cols 0:48 (boxes) + 88:96 (valid flags): a
-    # (64,128) selector halves the MXU work, and fetching from the
-    # pre-split hi|lo bf16 table with two 1-pass dots (vs one 6-pass
-    # exact-f32 dot) cuts it ~3x more.  Build-time box dilation
-    # (ops/bvh8.py) covers the ~2^-18 relative error of the 2-term
-    # bf16 split.
-    sel_int = jnp.concatenate(
-        [eye[0:48], eye[88:96], jnp.zeros((8, 128), jnp.float32)], axis=0
-    ).astype(jnp.bfloat16)                              # (64, 128)
-    # Leaf rows need cols 0:80 (9x8 verts + 8 ids), bit-exact: 96 rows
-    # at HIGHEST (6-pass, exact f32).
-    sel_leaf = eye[0:96]                                # (96, 128)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
     pow2 = (1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
 
-    zero_v = jnp.zeros((1, P), jnp.float32)
-    active0 = (t_max > 0.0).astype(jnp.float32)
-    init = (
-        jnp.int32(1),                        # sp (stack holds root group)
-        t_max,                               # t_best
-        jnp.full((1, P), -1.0, jnp.float32),  # tri (as float id)
-        zero_v, zero_v,                      # b0, b1
-        (zero_v,) * 9,                       # winning verts
-        active0,                             # active (f32: Mosaic cannot
-        #                                      yield i1 vectors from cond)
-        jnp.max(active0),                    # alive: scalar mirror of
-        #   any(active), refreshed only on leaf steps — keeps the while
-        #   cond free of a per-step cross-lane reduction.
-    )
-    # Stack of packed groups: base << 8 | live-child bitmask.  Pop peels
-    # the lowest set bit (one load + ~6 scalar ops + one store — no
-    # per-child loop); push is a single store of the whole sibling group.
-    stack_ref[0] = 1                         # base 0 (root row), bits 0b1
-
     def fetch(r):
-        """Exact-f32 row fetch (leaf rows): lane->sublane
-        transpose-broadcast through the MXU, col[i, l] = row[sel_i]."""
-        row = tab_ref[pl.ds(r, 1), :]                       # (1, 128)
-        b = jnp.broadcast_to(row, (P, 128))
-        return jax.lax.dot_general(
-            sel_leaf, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                   # (96, P)
+        """One node: aligned (8,128) VMEM tile load + dynamic lane roll
+        so node r's 16 field lanes land at 0..15 (slot j on sublane j)."""
+        tile = tab_ref[r >> 3]                              # (8, 128)
+        return pltpu.roll(tile, (128 - ((r & 7) << 4)) & 127, axis=1)
 
-    def fetch_bf(r):
-        """hi+lo bf16 row fetch (internal rows, ~2^-18 relative).
-        Rows hold hi<<16|lo packed int32 (bf16 = truncated f32, so each
-        half bitcasts to an exact f32 after masking/shifting)."""
-        word = tab_bf_ref[pl.ds(r, 1), :]                   # (1, 128) i32
-        hi = jax.lax.bitcast_convert_type(
-            word & jnp.int32(-65536), jnp.float32
-        ).astype(jnp.bfloat16)
-        lo = jax.lax.bitcast_convert_type(
-            word << 16, jnp.float32
-        ).astype(jnp.bfloat16)
-        b_hi = jnp.broadcast_to(hi, (P, 128))
-        b_lo = jnp.broadcast_to(lo, (P, 128))
-        dims = (((1,), (1,)), ((), ()))
-        out_hi = jax.lax.dot_general(
-            sel_int, b_hi, dims, preferred_element_type=jnp.float32
-        )
-        out_lo = jax.lax.dot_general(
-            sel_int, b_lo, dims, preferred_element_type=jnp.float32
-        )
-        return out_hi + out_lo                              # (64, P)
+    def fld(tile, c):
+        """Broadcast field c (lane c) across all P ray lanes."""
+        return jnp.broadcast_to(tile[:, c : c + 1], (8, P))
 
-    def internal_step(col, sp, t_best, active):
-        act = active > 0.0
-        lox, loy, loz = col[0:8], col[8:16], col[16:24]
-        hix, hiy, hiz = col[24:32], col[32:40], col[40:48]
-        t0x = (lox - ox) * inv_x
-        t1x = (hix - ox) * inv_x
-        t0y = (loy - oy) * inv_y
-        t1y = (hiy - oy) * inv_y
-        t0z = (loz - oz) * inv_z
-        t1z = (hiz - oz) * inv_z
+    # Per-packet ray registers (read fresh from the VMEM block each use;
+    # cheap reloads beat carrying ~15 loop-invariant vregs per packet).
+    def ray_of(k):
+        rays = rays_ref[k]                    # (8, P)
+        return (rays[0:1], rays[1:2], rays[2:3],
+                rays[3:4], rays[4:5], rays[5:6],
+                rays[6:7], rays[7:8] > 0.0)
+
+    t_bests, actives = [], []
+    for k in range(K):
+        *_, t_max, _want = ray_of(k)
+        stack_ref[k, 0] = 1                   # root group: base 0, bit 0
+        a0 = (t_max > 0.0).astype(jnp.float32)
+        t_bests.append(t_max)
+        actives.append(a0)
+
+    def internal_step(k, tile, t_best, active):
+        ox, oy, oz, dx, dy, dz, _tm, _w = ray_of(k)
+        inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        t0x = (fld(tile, 0) - ox) * inv_x
+        t1x = (fld(tile, 3) - ox) * inv_x
+        t0y = (fld(tile, 1) - oy) * inv_y
+        t1y = (fld(tile, 4) - oy) * inv_y
+        t0z = (fld(tile, 2) - oz) * inv_z
+        t1z = (fld(tile, 5) - oz) * inv_z
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.minimum(t0z, t1z),
@@ -177,32 +145,48 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, tab_bf_ref, out_ref,
             (tn <= tf * 1.0001)
             & (tf > 0.0)
             & (tn < t_best)
-            & (col[48:56] > 0.0)     # valid flags (sel_int rows 48:56)
-            & act
+            & (fld(tile, 6) > 0.0)            # slot-valid flags
+            & (active > 0.0)
         )
         any8 = jnp.any(hit8, axis=1, keepdims=True)          # (8, 1)
-        bits = jnp.sum(jnp.where(any8, pow2, 0))             # scalar
-        return bits
+        return jnp.sum(jnp.where(any8, pow2, 0))             # scalar bits
 
-    def leaf_step(col, cnt, t_best, tri, b0, b1, verts, active):
-        act = active > 0.0
-        v = tuple(col[8 * k : 8 * k + 8] for k in range(9))  # p0..p2 xyz
-        ids = col[72:80]
-        # Translate to ray origin, permute to ray space.
+    def shear_of(k):
+        """Watertight translate-permute-shear invariants
+        (triangle.rs:173-228), identical formulas to
+        shapes/triangle.py::intersect_triangle so the caller's
+        re-intersection reproduces the kernel's hit decision."""
+        _ox, _oy, _oz, dx, dy, dz, _tm, _w = ray_of(k)
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        is0 = (adx >= ady) & (adx >= adz)
+        is1 = (~is0) & (ady >= adz)
+        pdx, pdy, pdz = _permute3(dx, dy, dz, is0, is1)
+        dz_ok = pdz != 0.0
+        pdz_safe = jnp.where(dz_ok, pdz, 1.0)
+        sx = -pdx / pdz_safe
+        sy = -pdy / pdz_safe
+        sz = 1.0 / pdz_safe
+        return is0, is1, sx, sy, sz, dz_ok
+
+    shears = [shear_of(k) for k in range(K)]
+
+    def leaf_step(k, tile, cnt, t_best, tri, active, live):
+        ox, oy, oz, dx, dy, dz, _tm, want_any = ray_of(k)
+        is0, is1, sx, sy, sz, dz_ok = shears[k]
+        v = tuple(fld(tile, c) for c in range(9))            # p0..p2 xyz
+        ids = fld(tile, 9)
         a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
         a1 = (v[3] - ox, v[4] - oy, v[5] - oz)
         a2 = (v[6] - ox, v[7] - oy, v[8] - oz)
         q0 = _permute3(*a0, is0, is1)
         q1 = _permute3(*a1, is0, is1)
         q2 = _permute3(*a2, is0, is1)
-        # Shear.
         x0 = q0[0] + sx * q0[2]
         y0 = q0[1] + sy * q0[2]
         x1 = q1[0] + sx * q1[2]
         y1 = q1[1] + sy * q1[2]
         x2 = q2[0] + sx * q2[2]
         y2 = q2[1] + sy * q2[2]
-        # Signed edge functions (compensated, triangle.rs:229-260).
         e0 = difference_of_products(x1, y2, y1, x2)
         e1 = difference_of_products(x2, y0, y2, x0)
         e2 = difference_of_products(x0, y1, y0, x1)
@@ -211,139 +195,234 @@ def _traverse_kernel(meta_ref, rays_ref, tab_ref, tab_bf_ref, out_ref,
         )
         det = e0 + e1 + e2
         det_ok = det != 0.0
-        z0 = q0[2] * sz
-        z1 = q1[2] * sz
-        z2 = q2[2] * sz
-        ts = e0 * z0 + e1 * z1 + e2 * z2
+        ts = e0 * (q0[2] * sz) + e1 * (q1[2] * sz) + e2 * (q2[2] * sz)
         neg = det < 0.0
         # bool-select spelled as logic ops (Mosaic rejects i1 where()).
         t_ok = (neg & (ts <= 1e-7 * det) & (ts > t_best * det)) | (
             (~neg) & (ts >= 1e-7 * det) & (ts < t_best * det)
         )
         slot_ok = iota8 < cnt
-        hit = same_sign & det_ok & t_ok & dz_ok & slot_ok & act
+        hit = (
+            same_sign & det_ok & t_ok & dz_ok & slot_ok
+            & (active > 0.0) & live
+        )
         inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
         t = jnp.where(hit, ts * inv_det, jnp.inf)            # (8, P)
         tmin = jnp.min(t, axis=0, keepdims=True)             # (1, P)
         closer = tmin < t_best
-        # First-min slot (XLA argmin tiebreak) without argmin lowering.
+        # First-min slot without argmin lowering.
         cand = jnp.where(t == tmin, iota8, 8)
         sel = jnp.min(cand, axis=0, keepdims=True)
-        oh = iota8 == sel                                     # (8, P)
-
-        def pick(x):
-            return jnp.sum(jnp.where(oh, x, 0.0), axis=0, keepdims=True)
-
+        oh = iota8 == sel                                    # (8, P)
+        win_id = jnp.sum(jnp.where(oh, ids, 0.0), axis=0, keepdims=True)
         t_best = jnp.where(closer, tmin, t_best)
-        tri = jnp.where(closer, pick(ids), tri)
-        bb0 = pick(e0 * inv_det)
-        bb1 = pick(e1 * inv_det)
-        b0 = jnp.where(closer, bb0, b0)
-        b1 = jnp.where(closer, bb1, b1)
-        verts = tuple(
-            jnp.where(closer, pick(vk), wk) for vk, wk in zip(v, verts)
-        )
+        tri = jnp.where(closer, win_id, tri)
         active = jnp.where(want_any & closer, 0.0, active)
-        return t_best, tri, b0, b1, verts, active, jnp.max(active)
+        return t_best, tri, active
 
     def body(c):
-        sp, t_best, tri, b0, b1, verts, active, alive = c[:8]
-        e = stack_ref[sp - 1]
-        bits_e = e & 255
-        lsb = bits_e & (-bits_e)
-        # j = log2(lsb) for an 8-bit power of two: 3 mask tests.
-        j = (
-            jnp.where((lsb & 0xAA) != 0, 1, 0)
-            + jnp.where((lsb & 0xCC) != 0, 2, 0)
-            + jnp.where((lsb & 0xF0) != 0, 4, 0)
-        )
-        rest = e - lsb
-        stack_ref[sp - 1] = rest
-        sp = sp - jnp.where((rest & 255) == 0, 1, 0)
-        r = (e >> 8) + j
-        m = meta_ref[r]
-        cnt = m & 15
-
-        def do_internal(_):
-            col = fetch_bf(r)
-            bits = internal_step(col, sp, t_best, active)
-
-            @pl.when(bits != 0)
-            def _():
-                stack_ref[sp] = ((m >> 4) << 8) | bits
-
-            sp2 = sp + jnp.where(bits != 0, 1, 0)
-            return sp2, t_best, tri, b0, b1, verts, active, alive
-
-        def do_leaf(_):
+        sps, t_bs, tris_, acts, ns = c
+        sps_n = list(sps)
+        t_n = list(t_bs)
+        tri_n = list(tris_)
+        act_n = list(acts)
+        # BRANCH-FREE unified step per packet: no lax.cond / pl.when —
+        # each cond is a basic-block boundary that stops Mosaic from
+        # pipelining the K independent chains (measured: cond-based
+        # interleave was SLOWER than one packet).  The leaf test is
+        # self-masking (slot_ok = iota8 < cnt is empty on internal
+        # rows); internal bits are scalar-gated; stack writes are
+        # predicated with scalar selects into harmless slots.
+        for k in range(K):
+            sp = sps[k]
+            live = sp > 0
+            idx = jnp.maximum(sp - 1, 0)
+            e = stack_ref[k, idx]
+            bits_e = e & 255
+            lsb = bits_e & (-bits_e)
+            j = (
+                jnp.where((lsb & 0xAA) != 0, 1, 0)
+                + jnp.where((lsb & 0xCC) != 0, 2, 0)
+                + jnp.where((lsb & 0xF0) != 0, 4, 0)
+            )
+            rest = e - lsb
+            # Predicated pop: dead packets rewrite the entry unchanged.
+            stack_ref[k, idx] = jnp.where(live, rest, e)
+            sp_p = sp - jnp.where((rest & 255) == 0, 1, 0)
+            r = jnp.clip((e >> 8) + j, 0, n_rows - 1)
+            m = meta_ref[r]
+            cnt = m & 15
             col = fetch(r)
-            out = leaf_step(col, cnt, t_best, tri, b0, b1, verts, active)
-            return (sp,) + out
 
-        stepped = jax.lax.cond(cnt == 0, do_internal, do_leaf, None)
-        return stepped + (c[8] + 1,)
+            is_int = live & (cnt == 0)
+            bits = internal_step(k, col, t_bs[k], acts[k])
+            bits_eff = jnp.where(is_int, bits, 0)
+            # Unconditional push store: slot sp_p is the first free slot
+            # (only ever popped after a later push overwrites it), so
+            # writing there is harmless when no push happens.
+            slot = jnp.clip(sp_p, 0, stack_size - 1)
+            stack_ref[k, slot] = jnp.where(
+                bits_eff != 0,
+                ((m >> 4) << 8) | bits_eff,
+                stack_ref[k, slot],
+            )
+            sp2 = sp_p + jnp.where(bits_eff != 0, 1, 0)
+            sps_n[k] = jnp.where(live, sp2, sp)
+
+            tb, tr, ac = leaf_step(
+                k, col, cnt, t_bs[k], tris_[k], acts[k], live
+            )
+            t_n[k] = tb
+            tri_n[k] = tr
+            act_n[k] = ac
+        return (tuple(sps_n), tuple(t_n), tuple(tri_n), tuple(act_n),
+                ns + 1)
 
     def cond(c):
-        return (c[0] > 0) & (c[7] > 0.0)
+        # sp-only: an any-hit packet whose lanes all terminated simply
+        # drains its remaining stack (<= depth entries, no new pushes
+        # since every hit test is masked by active) — cheaper than a
+        # per-step cross-lane alive reduction.
+        sps = c[0]
+        live = sps[0] > 0
+        for k in range(1, K):
+            live = live | (sps[k] > 0)
+        return live
 
-    final = jax.lax.while_loop(cond, body, init + (jnp.int32(0),))
-    _, t_best, tri, b0, b1, verts, _, _, n_steps = final
-    steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
-    out = jnp.concatenate(
-        [t_best, tri, b0, b1] + list(verts) + [steps_v]
-        + [jnp.zeros((_ROWS_OUT - 14, P), jnp.float32)],
-        axis=0,
+    init = (
+        tuple(
+            jnp.where(jnp.max(actives[k]) > 0.0, 1, 0) for k in range(K)
+        ),
+        tuple(t_bests),
+        tuple(jnp.full((1, P), -1.0, jnp.float32) for _ in range(K)),
+        tuple(actives),
+        jnp.int32(0),
     )
-    out_ref[0] = out
+    sps, t_bs, tris_, _, n_steps = jax.lax.while_loop(cond, body, init)
+    steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
+    zero_pad = jnp.zeros((_ROWS_OUT - 3, P), jnp.float32)
+    for k in range(K):
+        out_ref[k] = jnp.concatenate(
+            [t_bs[k], tris_[k], steps_v, zero_pad], axis=0
+        )
 
 
 @functools.partial(
     jax.jit, static_argnames=("stack_size", "interpret")
 )
-def _traverse_call(meta, tab, tab_bf, rays, *, stack_size, interpret):
-    g = rays.shape[0]
-    kern = functools.partial(_traverse_kernel, stack_size=stack_size)
+def _traverse_call(meta, tiles, rays, *, stack_size, interpret):
+    gk = rays.shape[0]
+    K = K_PACKETS
+    kern = functools.partial(
+        _traverse_kernel, stack_size=stack_size, k_packets=K,
+        n_rows=meta.shape[0],
+    )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((g, _ROWS_OUT, P), jnp.float32),
-        grid=(g,),
+        out_shape=jax.ShapeDtypeStruct((gk, _ROWS_OUT, P), jnp.float32),
+        grid=(gk // K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # meta stays in HBM
             pl.BlockSpec(
-                (1, _ROWS_IN, P), lambda i: (i, 0, 0),
+                (K, _ROWS_IN, P), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                tab_bf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),   # table stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, _ROWS_OUT, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (K, _ROWS_OUT, P), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((K, stack_size), jnp.int32),
+            pltpu.VMEM(tiles.shape, jnp.float32),
+            pltpu.SMEM(meta.shape, jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_TABLE_BYTES + 8 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_TABLE_BYTES + 16 * 1024 * 1024,
         ),
-    )(meta, rays, tab, tab_bf)
+    )(meta, rays, tiles)
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def ray_sort_keys(tris, ray_o, ray_d):
+    """Packet-coherence sort key: Morton code of the quantized origin
+    (6 bits/axis, scene-bounds normalized) then direction octant then a
+    coarse direction quantization.  Rays sorted by this key form
+    packets whose shared-stack union stays near the per-ray visit
+    count even for bounce/shadow batches."""
+    ext = jnp.maximum(tris.world_max - tris.world_min, 1e-6)
+    q = (ray_o - tris.world_min[None, :]) / ext[None, :]
+    q = jnp.clip((q * 64.0).astype(jnp.int32), 0, 63)
+    morton = (
+        _part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+        | (_part1by2(q[:, 2]) << 2)
+    )                                                     # 18 bits
+    octant = (
+        (ray_d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (ray_d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (ray_d[:, 2] < 0).astype(jnp.int32)
+    )
+    dq = jnp.clip(
+        ((ray_d + 1.0) * 2.0).astype(jnp.int32), 0, 3
+    )                                                     # 2 bits/axis
+    fine = dq[:, 0] | (dq[:, 1] << 2) | (dq[:, 2] << 4)
+    return (morton << 9) | (octant << 6) | fine
 
 
 def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
-                     interpret=False, return_steps=False):
+                     interpret=False, return_steps=False,
+                     sort_rays=False):
     """Packet-traversal entry: same contract as
     shapes/triangle.py::_traverse (t, tri_idx, b0, b1, b2, verts).
 
-    tris: TriangleSceneData (uses rows8 + meta).  any_hit: python bool or
-    per-lane (N,) bool.  interpret: run the kernel interpreted (CPU CI).
+    tris: TriangleSceneData (uses tiles8 + meta).  any_hit: python bool
+    or per-lane (N,) bool.  interpret: run interpreted (CPU CI).
+    sort_rays: order rays by ray_sort_keys before packing into packets
+    (one argsort + two gathers; pays for itself on incoherent batches
+    and compacts dead lanes into zero-step packets).
+
+    The kernel returns only (t, winning tri); vertices and barycentrics
+    are re-derived here by re-running the same watertight intersection
+    against the winner (one gather + vectorized math).
     """
+    from shimmer_tpu.shapes.triangle import _gather_tri, intersect_triangle
+
     n = ray_o.shape[0]
-    g = max(1, -(-n // P))
+    kp = K_PACKETS * P
+    g = max(1, -(-n // kp)) * K_PACKETS
     npad = g * P
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     want = jnp.broadcast_to(jnp.asarray(any_hit, bool), (n,))
+    inv = None
+    if sort_rays and n > P:
+        # Dead lanes (t_max <= 0) sort to the end: whole-dead packets
+        # exit after zero steps, so sorting doubles as lane compaction
+        # for wavefront dispatches with scattered dead lanes.
+        keys = jnp.where(
+            t_max > 0.0,
+            ray_sort_keys(tris, ray_o, ray_d),
+            jnp.int32(0x7FFFFFFF),
+        )
+        order = jnp.argsort(keys)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        ray_o = ray_o[order]
+        ray_d = ray_d[order]
+        t_max = t_max[order]
+        want = want[order]
     lanes = jnp.stack(
         [
             ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
@@ -360,17 +439,35 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
     rays = jnp.transpose(lanes.reshape(_ROWS_IN, g, P), (1, 0, 2))
 
     out = _traverse_call(
-        tris.meta, tris.rows8, tris.rows8_bf, rays,
+        tris.meta, tris.tiles8, rays,
         stack_size=int(tris.stack_depth) + 8,
         interpret=interpret,
-    )                                                     # (g, 16, P)
+    )                                                     # (g, 8, P)
     flat = jnp.transpose(out, (1, 0, 2)).reshape(_ROWS_OUT, npad)[:, :n]
-    t_best = flat[0]
+    if inv is not None:
+        flat = flat[:, inv]
+        ray_o = ray_o[inv]
+        ray_d = ray_d[inv]
+        t_max = t_max[inv]
     tri = flat[1].astype(jnp.int32)
-    b0, b1 = flat[2], flat[3]
-    verts = jnp.transpose(flat[4:13], (1, 0))
-    b2 = jnp.where(tri >= 0, 1.0 - b0 - b1, 0.0)
-    t_best = jnp.where(tri >= 0, t_best, jnp.inf)
+    hit = tri >= 0
+
+    # Re-derive (t, b0, b1, b2, verts) by re-intersecting the winning
+    # triangle with the identical watertight algorithm (bit-equal
+    # decisions given equal inputs).
+    _, p0, p1, p2 = _gather_tri(tris, jnp.maximum(tri, 0))
+    h2, t2, b0, b1, b2 = intersect_triangle(
+        ray_o, ray_d, t_max, p0, p1, p2
+    )
+    t_best = jnp.where(hit, t2, jnp.inf)
+    b0 = jnp.where(hit, b0, 0.0)
+    b1 = jnp.where(hit, b1, 0.0)
+    b2 = jnp.where(hit, b2, 0.0)
+    verts = jnp.where(
+        hit[:, None],
+        jnp.concatenate([p0, p1, p2], axis=-1),
+        0.0,
+    )
     if return_steps:
-        return t_best, tri, b0, b1, b2, verts, flat[13]
+        return t_best, tri, b0, b1, b2, verts, flat[2]
     return t_best, tri, b0, b1, b2, verts

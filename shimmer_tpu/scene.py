@@ -33,6 +33,7 @@ class Scene:
     env: object | None            # EnvLightData (lights/env.py)
     textures: object | None       # TextureTable (textures/textures.py)
     patches: object | None = None  # BilinearPatchData (shapes/bilinear.py)
+    instanced: object | None = None  # InstancedTriangles (shapes/instanced.py)
     # --- static census ---
     material_kinds: tuple = static_field(default=())
     light_kinds: tuple = static_field(default=())
@@ -42,6 +43,7 @@ class Scene:
     has_spheres: bool = static_field(default=False)
     has_triangles: bool = static_field(default=False)
     has_patches: bool = static_field(default=False)
+    has_instanced: bool = static_field(default=False)
     has_normal_maps: bool = static_field(default=False)
     has_bump_maps: bool = static_field(default=False)
 
@@ -69,6 +71,13 @@ def scene_intersect(scene: Scene, ray_o, ray_d, t_max, want_any=False):
 
         si_p = bilinear_intersect(scene.patches, ray_o, ray_d, t_max)
         si = si_p if si is None else _closer(si, si_p)
+    if scene.has_instanced:
+        from shimmer_tpu.shapes.instanced import instanced_intersect
+
+        si_i = instanced_intersect(
+            scene.instanced, ray_o, ray_d, t_max, want_any=want_any
+        )
+        si = si_i if si is None else _closer(si, si_i)
     assert si is not None, "scene has no geometry"
     return si
 
@@ -100,6 +109,10 @@ def scene_intersect_predicate(scene: Scene, ray_o, ray_d, t_max):
         from shimmer_tpu.shapes.bilinear import bilinear_occluded
 
         hit = hit | bilinear_occluded(scene.patches, ray_o, ray_d, t_max)
+    if scene.has_instanced:
+        from shimmer_tpu.shapes.instanced import instanced_occluded
+
+        hit = hit | instanced_occluded(scene.instanced, ray_o, ray_d, t_max)
     return hit
 
 

@@ -29,6 +29,7 @@ def build_scene(
     spheres: list[dict] | None = None,
     triangles=None,
     patches: list[dict] | None = None,
+    instanced=None,
     materials: list[dict] | None = None,
     lights: list[dict] | None = None,
     colorspace: RgbColorSpace | None = None,
@@ -101,13 +102,14 @@ def build_scene(
         )
     else:
         scene_radius = 100.0
-    if triangles is not None:
-        lo = np.asarray(triangles.world_min) if hasattr(triangles, "world_min") else None
-        if lo is not None:
-            hi = np.asarray(triangles.world_max)
-            scene_radius = max(
-                scene_radius, float(np.linalg.norm(hi - lo) * 0.5 + np.linalg.norm((hi + lo) * 0.5))
-            )
+    for geom in (triangles, instanced):
+        if geom is None or not hasattr(geom, "world_min"):
+            continue
+        lo = np.asarray(geom.world_min)
+        hi = np.asarray(geom.world_max)
+        scene_radius = max(
+            scene_radius, float(np.linalg.norm(hi - lo) * 0.5 + np.linalg.norm((hi + lo) * 0.5))
+        )
 
     # --- lights ---
     n_l = len(lights)
@@ -180,6 +182,7 @@ def build_scene(
         spheres=sphere_data,
         triangles=triangles,
         patches=patch_data,
+        instanced=instanced,
         materials=mat_table,
         lights=light_data,
         light_sample_weights=jnp.asarray(weights[:n_l] if n_l else np.ones(0, np.float32)),
@@ -200,6 +203,7 @@ def build_scene(
         has_spheres=sphere_data is not None,
         has_triangles=triangles is not None,
         has_patches=patch_data is not None,
+        has_instanced=instanced is not None,
         has_normal_maps=any(
             m.get("normal_tex", -1) >= 0 for m in mat_dicts
         ),

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shimmer_tpu.ops.bvh8 import MAX_LEAF8, pack_bvh8
+from shimmer_tpu.ops.bvh8 import MAX_LEAF8, pack_bvh8, pack_tiles8
 from shimmer_tpu.ops.math import difference_of_products
 from shimmer_tpu.ops.sampling import (
     sample_spherical_triangle,
@@ -83,8 +83,8 @@ class TriangleSceneData:
     tri_area: jnp.ndarray      # (T,)
     # Hot-path packed tables:
     rows8: jnp.ndarray       # (R, 128) f32 — see ops/bvh8.py layout
-    rows8_bf: jnp.ndarray    # (R, 128) int32 — hi|lo bf16 split of
-    #                          rows8 for the Pallas 1-pass MXU fetches
+    tiles8: jnp.ndarray      # (ceil(R/8), 8, 128) f32 — sublane-packed
+    #                          node tiles for the Pallas kernel fetch
     meta: jnp.ndarray        # (R,) int32 leaf_count | child_base << 4
     attr_rows: jnp.ndarray   # (T, 32) f32, BVH order
     light_rows: jnp.ndarray  # (T, 16) f32, original order
@@ -102,34 +102,8 @@ class TriangleSceneData:
     differentiable_hits: bool = static_field(default=False)
 
 
-def _split_hi_lo(rows: "np.ndarray") -> "np.ndarray":
-    """hi|lo bf16 split of an f32 table, packed hi<<16|lo into int32
-    (x == hi + lo to ~2^-18 relative).  Lets the Pallas kernel fetch
-    internal rows with two 1-pass bf16 MXU dots instead of one 6-pass
-    f32 dot; int32 packing because Mosaic only supports dynamic
-    single-row loads at 32-bit width (ops/pallas/traverse.py)."""
-    import ml_dtypes
-
-    hi = rows.astype(ml_dtypes.bfloat16)
-    lo = (rows - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    word = (hi.view(np.uint16).astype(np.uint32) << 16) | lo.view(
-        np.uint16
-    ).astype(np.uint32)
-    return word.view(np.int32)
-
-
-def build_triangle_scene(
-    meshes: list[dict],
-    leaf_size: int = MAX_LEAF8,
-    differentiable_hits: bool = False,
-    traversal: str = "auto",
-) -> TriangleSceneData:
-    """Host: concatenate meshes, build the BVH, pack the fat tables.
-
-    Each mesh dict: ``p`` (V,3 render-space vertices), ``indices`` (T,3),
-    optional ``n`` (V,3), ``uv`` (V,2), ``material_id``, ``area_light_id``
-    (per mesh scalar or per-tri array), ``reverse_orientation`` bool.
-    """
+def _concat_meshes(meshes: list[dict]) -> dict:
+    """Concatenate mesh dicts into one SoA pool (+ per-tri AABBs)."""
     ps, ns, uvs, idxs = [], [], [], []
     mats, ali, revs = [], [], []
     v_off = 0
@@ -162,16 +136,60 @@ def build_triangle_scene(
         revs.append(np.full(t, bool(m.get("reverse_orientation", False))))
         v_off += v
     p = np.concatenate(ps)
-    n = np.concatenate(ns)
-    uv = np.concatenate(uvs)
     indices = np.concatenate(idxs)
-    material_id = np.concatenate(mats)
-    area_light_id = np.concatenate(ali)
-    rev = np.concatenate(revs)
-
     tri_p = p[indices]  # (T, 3, 3)
-    lo = tri_p.min(axis=1)
-    hi = tri_p.max(axis=1)
+    return {
+        "p": p,
+        "n": np.concatenate(ns),
+        "uv": np.concatenate(uvs),
+        "indices": indices,
+        "material_id": np.concatenate(mats),
+        "area_light_id": np.concatenate(ali),
+        "rev": np.concatenate(revs),
+        "tri_p": tri_p,
+        "lo": tri_p.min(axis=1),
+        "hi": tri_p.max(axis=1),
+        "has_normals": any_n,
+        "has_uv": any_uv,
+    }
+
+
+def _attr_for(cat: dict, perm: np.ndarray) -> np.ndarray:
+    """Pack the per-triangle shading attr rows in BVH (perm) order."""
+    sorted_indices = cat["indices"][perm].astype(np.int32)
+    t_n = sorted_indices.shape[0]
+    attr = np.zeros((t_n, _ATTR_W), np.float32)
+    tri_uv = cat["uv"][sorted_indices]  # (T, 3, 2)
+    # Default UVs (0,0),(1,0),(1,1) when a triangle has none
+    # (triangle.rs:361-369).
+    no_uv = np.abs(tri_uv).sum(axis=(1, 2)) == 0.0
+    tri_uv[no_uv] = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
+    attr[:, _A_UV : _A_UV + 6] = tri_uv.reshape(t_n, 6)
+    attr[:, _A_NS : _A_NS + 9] = cat["n"][sorted_indices].reshape(t_n, 9)
+    attr[:, _A_MAT] = cat["material_id"][perm].astype(np.float32)
+    attr[:, _A_ALI] = cat["area_light_id"][perm].astype(np.float32)
+    attr[:, _A_REV] = cat["rev"][perm].astype(np.float32)
+    attr[:, _A_ORIG] = perm.astype(np.float32)
+    return attr
+
+
+def build_triangle_scene(
+    meshes: list[dict],
+    leaf_size: int = MAX_LEAF8,
+    differentiable_hits: bool = False,
+    traversal: str = "auto",
+) -> TriangleSceneData:
+    """Host: concatenate meshes, build the BVH, pack the fat tables.
+
+    Each mesh dict: ``p`` (V,3 render-space vertices), ``indices`` (T,3),
+    optional ``n`` (V,3), ``uv`` (V,2), ``material_id``, ``area_light_id``
+    (per mesh scalar or per-tri array), ``reverse_orientation`` bool.
+    """
+    cat = _concat_meshes(meshes)
+    p, n, uv = cat["p"], cat["n"], cat["uv"]
+    indices, rev, tri_p = cat["indices"], cat["rev"], cat["tri_p"]
+    any_n, any_uv = cat["has_normals"], cat["has_uv"]
+    lo, hi = cat["lo"], cat["hi"]
     bvh8 = pack_bvh8(lo, hi, tri_p)
 
     # BVH-order permuted tables.
@@ -183,18 +201,7 @@ def build_triangle_scene(
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
     t_n = sorted_indices.shape[0]
-    attr = np.zeros((t_n, _ATTR_W), np.float32)
-    tri_uv = uv[sorted_indices]  # (T, 3, 2)
-    # Default UVs (0,0),(1,0),(1,1) when a triangle has none
-    # (triangle.rs:361-369).
-    no_uv = np.abs(tri_uv).sum(axis=(1, 2)) == 0.0
-    tri_uv[no_uv] = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
-    attr[:, _A_UV : _A_UV + 6] = tri_uv.reshape(t_n, 6)
-    attr[:, _A_NS : _A_NS + 9] = n[sorted_indices].reshape(t_n, 9)
-    attr[:, _A_MAT] = material_id[perm].astype(np.float32)
-    attr[:, _A_ALI] = area_light_id[perm].astype(np.float32)
-    attr[:, _A_REV] = rev[perm].astype(np.float32)
-    attr[:, _A_ORIG] = perm.astype(np.float32)
+    attr = _attr_for(cat, perm)
 
     light_rows = np.zeros((t_n, _LIGHT_W), np.float32)
     light_rows[:, 0:9] = tri_p.reshape(t_n, 9)
@@ -209,7 +216,7 @@ def build_triangle_scene(
         orig_rev=jnp.asarray(rev),
         tri_area=jnp.asarray(area, jnp.float32),
         rows8=jnp.asarray(bvh8.rows),
-        rows8_bf=jnp.asarray(_split_hi_lo(bvh8.rows)),
+        tiles8=jnp.asarray(pack_tiles8(bvh8.rows, bvh8.meta)),
         meta=jnp.asarray(bvh8.meta),
         attr_rows=jnp.asarray(attr),
         light_rows=jnp.asarray(light_rows),
@@ -541,6 +548,9 @@ def _traverse_any(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             tris, ray_o, ray_d, t_max, any_hit=any_hit,
             interpret=tris.traversal == "pallas"
             and jax.default_backend() != "tpu",
+            # Morton/octant packet sorting: pays for itself on bounce/
+            # shadow batches and compacts dead lanes into idle packets.
+            sort_rays=True,
         )
     t, tri, b0, b1, b2, verts = _traverse(
         tris, ray_o, ray_d, t_max, any_hit=any_hit
@@ -579,6 +589,22 @@ def triangle_scene_intersect(
         p0 = verts[..., 0:3]
         p1 = verts[..., 3:6]
         p2 = verts[..., 6:9]
+    return build_triangle_interaction(
+        tris.attr_rows, tris.has_normals, ray_o, ray_d,
+        t, tri, b0, b1, b2, p0, p1, p2,
+    )
+
+
+def build_triangle_interaction(
+    attr_rows, has_normals, ray_o, ray_d, t, tri, b0, b1, b2, p0, p1, p2,
+    ns_transform=None,
+):
+    """Interaction construction from a winning triangle
+    (triangle.rs:305-504 interaction_from_intersection).  Shared by the
+    single-level scene path and the two-level instanced path (which
+    passes world-space verts + an object->world normal transform)."""
+    valid = tri >= 0
+    tri_c = jnp.maximum(tri, 0)
     t = jnp.where(valid, t, jnp.inf)
     p_hit = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
 
@@ -591,7 +617,7 @@ def triangle_scene_intersect(
     )
 
     # Shading attributes: ONE packed row per hit.
-    attr = tris.attr_rows[tri_c]             # (N, 32)
+    attr = attr_rows[tri_c]                  # (N, 32)
     uv0 = attr[..., _A_UV + 0 : _A_UV + 2]
     uv1 = attr[..., _A_UV + 2 : _A_UV + 4]
     uv2 = attr[..., _A_UV + 4 : _A_UV + 6]
@@ -623,11 +649,13 @@ def triangle_scene_intersect(
     n_geom = jnp.where(rev[..., None], -n_geom, n_geom)
 
     # Shading normals (triangle.rs:418-504).
-    if tris.has_normals:
+    if has_normals:
         ns0 = attr[..., _A_NS + 0 : _A_NS + 3]
         ns1 = attr[..., _A_NS + 3 : _A_NS + 6]
         ns2 = attr[..., _A_NS + 6 : _A_NS + 9]
         ns = b0[..., None] * ns0 + b1[..., None] * ns1 + b2[..., None] * ns2
+        if ns_transform is not None:
+            ns = ns_transform(ns)
         has_ns = length_squared(ns) > 1e-12
         ns = jnp.where(has_ns[..., None], normalize(ns), n_geom)
         ns = jnp.where(rev[..., None], jnp.where(has_ns[..., None], -ns, ns), ns)

@@ -116,13 +116,19 @@ class TestParse:
         # CTM reset at WorldBegin
         np.testing.assert_allclose(b.gs.ctm, np.eye(4))
 
-    def test_object_instancing_flattens(self):
+    def test_object_instancing(self):
+        """Triangle meshes instance via the two-level BVH (no vertex
+        duplication, VERDICT r2 item 7); non-triangle shapes (spheres)
+        fall back to flattening."""
         b = SceneBuilder()
         parse_str(
             """
             WorldBegin
             ObjectBegin "tree"
               Shape "sphere" "float radius" [0.5]
+              Shape "trianglemesh"
+                "integer indices" [0 1 2]
+                "point3 P" [0 0 0  1 0 0  0 1 0]
             ObjectEnd
             ObjectInstance "tree"
             Translate 3 0 0
@@ -130,9 +136,48 @@ class TestParse:
             """,
             b,
         )
+        # spheres flattened (2 copies); triangle mesh NOT flattened
         assert len(b.shapes) == 2
-        assert np.isclose(b.shapes[0]["ctm"][0, 3], 0.0)
-        assert np.isclose(b.shapes[1]["ctm"][0, 3], 3.0)
+        assert all(r["kind"] == "sphere" for r in b.shapes)
+        assert len(b.instances) == 2
+        assert np.isclose(b.instances[0][1][0, 3], 0.0)
+        assert np.isclose(b.instances[1][1][0, 3], 3.0)
+
+    def test_instanced_scene_renders(self):
+        b = SceneBuilder()
+        parse_str(
+            """
+            Film "rgb" "integer xresolution" [12] "integer yresolution" [12]
+            Sampler "independent" "integer pixelsamples" [2]
+            Integrator "path" "integer maxdepth" [2]
+            Camera "perspective" "float fov" [50]
+            WorldBegin
+            Material "diffuse" "rgb reflectance" [0.6 0.6 0.6]
+            ObjectBegin "blade"
+              Shape "trianglemesh"
+                "integer indices" [0 1 2  0 2 3]
+                "point3 P" [-0.4 0 2  0.4 0 2  0.4 0.8 2  -0.4 0.8 2]
+            ObjectEnd
+            ObjectInstance "blade"
+            Translate 1 0 0
+            ObjectInstance "blade"
+            Translate -2 0 0
+            ObjectInstance "blade"
+            LightSource "infinite" "rgb L" [0.5 0.5 0.5]
+            """,
+            b,
+        )
+        job = b.create()
+        assert job.scene.has_instanced
+        assert int(job.scene.instanced.inst_fwd.shape[0]) == 3
+        from shimmer_tpu.render import render
+
+        img, _ = render(
+            job.scene, job.camera, job.film, job.sampler,
+            integrator="path", spp=2, max_depth=2,
+        )
+        img = np.asarray(img)
+        assert np.isfinite(img).all() and img.mean() > 0
 
     def test_include(self, tmp_path):
         (tmp_path / "inc.pbrt").write_text('Shape "sphere" "float radius" [2]\n')
