@@ -53,7 +53,7 @@ from shimmer_tpu.materials.material import bsdf_pdf, bsdf_sample
 from shimmer_tpu.ops.ray import offset_ray_origin
 from shimmer_tpu.ops.vecmath import abs_dot
 from shimmer_tpu.samplers import SamplerState
-from shimmer_tpu.scene import Scene, scene_intersect
+from shimmer_tpu.scene import Scene, scene_intersect_merged
 from shimmer_tpu.spectra.sampled import SampledWavelengths, ss_is_black
 from shimmer_tpu.utils.pytree import pytree_dataclass
 
@@ -203,15 +203,7 @@ def render_wave_wavefront(
             ],
             axis=0,
         )
-        wa = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)], axis=0)
-        si_all = scene_intersect(scene, mo, md, mt, want_any=wa)
-        occluded = si_all.valid[n:]
-        si = type(si_all)(
-            **{
-                f.name: getattr(si_all, f.name)[:n]
-                for f in dataclasses.fields(si_all)
-            }
-        )
+        si, occluded = scene_intersect_merged(scene, mo, md, mt, n)
 
         # --- 2. shadow resolution + emission + shading ---
         l = st.l + jnp.where(

@@ -62,7 +62,13 @@ import os
 P = 128                      # rays per packet (one vreg lane dim)
 # Interleaved packets per grid step (env knob for on-chip tuning).
 K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "2"))
-_ROWS_IN = 8                 # input rows per packet: o3 d3 tmax anyflag
+# Input rows per packet.  Everything loop-invariant is precomputed by
+# XLA at pack time and handed to the kernel as extra rows — the kernel
+# loop then contains no divides and no shear/permute setup:
+#   0-2 o, 3-5 d, 6 tmax, 7 any-hit flag,
+#   8-10 1/d (guarded), 11-13 watertight shear sx sy sz,
+#   14 permute code (0/1/2 = |d|-max axis), 15 dz_ok flag
+_ROWS_IN = 16
 _ROWS_OUT = 8                # t, tri, steps, pad
 # VMEM budget for the node table (v5e); larger scenes use the XLA path.
 VMEM_TABLE_BYTES = 48 * 1024 * 1024
@@ -107,12 +113,27 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         return jnp.broadcast_to(tile[:, c : c + 1], (8, P))
 
     # Per-packet ray registers (read fresh from the VMEM block each use;
-    # cheap reloads beat carrying ~15 loop-invariant vregs per packet).
+    # cheap reloads beat carrying loop-invariant vregs per packet).
+    # Rows 8+ hold invariants precomputed at pack time (see _ROWS_IN).
     def ray_of(k):
-        rays = rays_ref[k]                    # (8, P)
+        rays = rays_ref[k]                    # (16, P)
         return (rays[0:1], rays[1:2], rays[2:3],
                 rays[3:4], rays[4:5], rays[5:6],
                 rays[6:7], rays[7:8] > 0.0)
+
+    def inv_of(k):
+        rays = rays_ref[k]
+        return rays[8:9], rays[9:10], rays[10:11]
+
+    def shear_of(k):
+        """Watertight translate-permute-shear invariants
+        (triangle.rs:173-228) — precomputed at pack time with formulas
+        identical to shapes/triangle.py::intersect_triangle so the
+        caller's re-intersection reproduces the kernel's hit decision."""
+        rays = rays_ref[k]
+        pc = rays[14:15]
+        return (pc < 0.5, (pc >= 0.5) & (pc < 1.5),
+                rays[11:12], rays[12:13], rays[13:14], rays[15:16] > 0.0)
 
     t_bests, actives = [], []
     for k in range(K):
@@ -123,10 +144,8 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         actives.append(a0)
 
     def internal_step(k, tile, t_best, active):
-        ox, oy, oz, dx, dy, dz, _tm, _w = ray_of(k)
-        inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-        inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-        inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        ox, oy, oz, *_ = ray_of(k)
+        inv_x, inv_y, inv_z = inv_of(k)
         t0x = (fld(tile, 0) - ox) * inv_x
         t1x = (fld(tile, 3) - ox) * inv_x
         t0y = (fld(tile, 1) - oy) * inv_y
@@ -151,28 +170,9 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         any8 = jnp.any(hit8, axis=1, keepdims=True)          # (8, 1)
         return jnp.sum(jnp.where(any8, pow2, 0))             # scalar bits
 
-    def shear_of(k):
-        """Watertight translate-permute-shear invariants
-        (triangle.rs:173-228), identical formulas to
-        shapes/triangle.py::intersect_triangle so the caller's
-        re-intersection reproduces the kernel's hit decision."""
-        _ox, _oy, _oz, dx, dy, dz, _tm, _w = ray_of(k)
-        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-        is0 = (adx >= ady) & (adx >= adz)
-        is1 = (~is0) & (ady >= adz)
-        pdx, pdy, pdz = _permute3(dx, dy, dz, is0, is1)
-        dz_ok = pdz != 0.0
-        pdz_safe = jnp.where(dz_ok, pdz, 1.0)
-        sx = -pdx / pdz_safe
-        sy = -pdy / pdz_safe
-        sz = 1.0 / pdz_safe
-        return is0, is1, sx, sy, sz, dz_ok
-
-    shears = [shear_of(k) for k in range(K)]
-
     def leaf_step(k, tile, cnt, t_best, tri, active, live):
         ox, oy, oz, dx, dy, dz, _tm, want_any = ray_of(k)
-        is0, is1, sx, sy, sz, dz_ok = shears[k]
+        is0, is1, sx, sy, sz, dz_ok = shear_of(k)
         v = tuple(fld(tile, c) for c in range(9))            # p0..p2 xyz
         ids = fld(tile, 9)
         a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
@@ -381,24 +381,25 @@ def ray_sort_keys(tris, ray_o, ray_d):
     return (morton << 9) | (octant << 6) | fine
 
 
-def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
-                     interpret=False, return_steps=False,
-                     sort_rays=False):
-    """Packet-traversal entry: same contract as
-    shapes/triangle.py::_traverse (t, tri_idx, b0, b1, b2, verts).
+def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
+                         interpret=False, return_steps=False,
+                         sort_rays=False):
+    """Minimal packet-traversal entry: returns ``(t, tri)`` (and steps
+    when requested) in ORIGINAL ray order — t = +inf on miss.
+
+    The hot path: everything beyond the kernel is one optional
+    Morton-key argsort (4 reorder gathers in, 2 unsort gathers out).
+    Barycentrics / vertices are NOT produced here — callers that need
+    them re-intersect the winning triangle (see traverse_packets /
+    triangle_scene_intersect), which costs one vertex gather and keeps
+    the per-dispatch overhead off shadow-only and raw queries.
 
     tris: TriangleSceneData (uses tiles8 + meta).  any_hit: python bool
     or per-lane (N,) bool.  interpret: run interpreted (CPU CI).
     sort_rays: order rays by ray_sort_keys before packing into packets
-    (one argsort + two gathers; pays for itself on incoherent batches
-    and compacts dead lanes into zero-step packets).
-
-    The kernel returns only (t, winning tri); vertices and barycentrics
-    are re-derived here by re-running the same watertight intersection
-    against the winner (one gather + vectorized math).
+    (pays for itself on incoherent batches and compacts dead lanes into
+    zero-step packets).
     """
-    from shimmer_tpu.shapes.triangle import _gather_tri, intersect_triangle
-
     n = ray_o.shape[0]
     kp = K_PACKETS * P
     g = max(1, -(-n // kp)) * K_PACKETS
@@ -416,26 +417,48 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
             jnp.int32(0x7FFFFFFF),
         )
         order = jnp.argsort(keys)
-        inv = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
+        inv = order
         ray_o = ray_o[order]
         ray_d = ray_d[order]
         t_max = t_max[order]
         want = want[order]
+    if npad != n:
+        # padded lanes: d = +z, t_max = 0 -> inactive from the first step
+        zpad = jnp.zeros((npad - n,), jnp.float32)
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((npad - n, 3))], axis=0)
+        ray_d = jnp.concatenate(
+            [ray_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                     (npad - n, 3))], axis=0
+        )
+        t_max = jnp.concatenate([t_max, zpad], axis=0)
+        want = jnp.concatenate([want, zpad > 0.0], axis=0)
+
+    # Loop-invariant per-ray rows, precomputed once here (vectorized
+    # XLA) instead of every kernel step: guarded 1/d for the slab test
+    # and the watertight shear constants — formulas identical to
+    # shapes/triangle.py::intersect_triangle (both IEEE f32, so the
+    # caller's re-intersection reproduces the kernel's hit decision).
+    dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    inv_d = 1.0 / jnp.where(ray_d == 0.0, 1e-30, ray_d)  # (npad, 3)
+    ad = jnp.abs(ray_d)
+    is0 = (ad[:, 0] >= ad[:, 1]) & (ad[:, 0] >= ad[:, 2])
+    is1 = (~is0) & (ad[:, 1] >= ad[:, 2])
+    pc = jnp.where(is0, 0.0, jnp.where(is1, 1.0, 2.0))
+    pdx = jnp.where(is0, dy, jnp.where(is1, dz, dx))
+    pdy = jnp.where(is0, dz, jnp.where(is1, dx, dy))
+    pdz = jnp.where(is0, dx, jnp.where(is1, dy, dz))
+    dz_ok = pdz != 0.0
+    pdz_safe = jnp.where(dz_ok, pdz, 1.0)
     lanes = jnp.stack(
         [
-            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
-            ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
+            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2], dx, dy, dz,
             t_max, want.astype(jnp.float32),
+            inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
+            -pdx / pdz_safe, -pdy / pdz_safe, 1.0 / pdz_safe,
+            pc, dz_ok.astype(jnp.float32),
         ],
         axis=0,
-    )                                                     # (8, N)
-    if npad != n:
-        pad = jnp.zeros((_ROWS_IN, npad - n), jnp.float32)
-        # padded lanes: t_max=0 -> inactive from the first step
-        pad = pad.at[5].set(1.0)                          # d = +z
-        lanes = jnp.concatenate([lanes, pad], axis=1)
+    )                                                     # (16, npad)
     rays = jnp.transpose(lanes.reshape(_ROWS_IN, g, P), (1, 0, 2))
 
     out = _traverse_call(
@@ -443,21 +466,46 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
         stack_size=int(tris.stack_depth) + 8,
         interpret=interpret,
     )                                                     # (g, 8, P)
-    flat = jnp.transpose(out, (1, 0, 2)).reshape(_ROWS_OUT, npad)[:, :n]
+    k_rows = 3 if return_steps else 2
+    flat = jnp.transpose(out[:, :k_rows], (1, 0, 2)).reshape(
+        k_rows, npad
+    )[:, :n]
     if inv is not None:
-        flat = flat[:, inv]
-        ray_o = ray_o[inv]
-        ray_d = ray_d[inv]
-        t_max = t_max[inv]
+        # Scatter-unsort: one .at[].set per row beats building the
+        # inverse permutation (a full (N,) scatter) plus gathers.
+        flat = jnp.zeros_like(flat).at[:, inv].set(flat)
+    t = flat[0]
     tri = flat[1].astype(jnp.int32)
+    t = jnp.where(tri >= 0, t, jnp.inf)
+    if return_steps:
+        return t, tri, flat[2]
+    return t, tri
+
+
+def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
+                     interpret=False, return_steps=False,
+                     sort_rays=False):
+    """Packet-traversal entry: same contract as
+    shapes/triangle.py::_traverse (t, tri_idx, b0, b1, b2, verts).
+
+    The kernel returns only (t, winning tri); vertices and barycentrics
+    are re-derived here by re-running the same watertight intersection
+    against the winner (one gather + vectorized math, identical
+    formulas so the hit decision reproduces bit-for-bit).
+    """
+    from shimmer_tpu.shapes.triangle import _gather_tri, intersect_triangle
+
+    res = traverse_packets_raw(
+        tris, ray_o, ray_d, t_max, any_hit=any_hit, interpret=interpret,
+        return_steps=return_steps, sort_rays=sort_rays,
+    )
+    t, tri = res[0], res[1]
     hit = tri >= 0
 
-    # Re-derive (t, b0, b1, b2, verts) by re-intersecting the winning
-    # triangle with the identical watertight algorithm (bit-equal
-    # decisions given equal inputs).
     _, p0, p1, p2 = _gather_tri(tris, jnp.maximum(tri, 0))
     h2, t2, b0, b1, b2 = intersect_triangle(
-        ray_o, ray_d, t_max, p0, p1, p2
+        ray_o, ray_d, jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                       tri.shape), p0, p1, p2
     )
     t_best = jnp.where(hit, t2, jnp.inf)
     b0 = jnp.where(hit, b0, 0.0)
@@ -469,5 +517,5 @@ def traverse_packets(tris, ray_o, ray_d, t_max, any_hit=False,
         0.0,
     )
     if return_steps:
-        return t_best, tri, b0, b1, b2, verts, flat[2]
+        return t_best, tri, b0, b1, b2, verts, res[2]
     return t_best, tri, b0, b1, b2, verts

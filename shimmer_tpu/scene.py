@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,6 +81,48 @@ def scene_intersect(scene: Scene, ray_o, ray_d, t_max, want_any=False):
         si = si_i if si is None else _closer(si, si_i)
     assert si is not None, "scene has no geometry"
     return si
+
+
+def scene_intersect_merged(scene: Scene, ray_o, ray_d, t_max, n_ext):
+    """Wavefront merged trace: lanes [:n_ext] are extension rays
+    (closest-hit, full interaction), lanes [n_ext:] are shadow rays
+    (any-hit, only occlusion needed).  Returns (si_ext, occluded).
+
+    For triangles-only scenes this avoids building (and discarding)
+    interactions for the shadow half of every dispatch: one raw
+    traversal over all lanes, interaction construction only on the
+    extension slice.  Mixed-geometry scenes fall back to the general
+    union intersect."""
+    n_all = ray_o.shape[0]
+    want_any = jnp.arange(n_all) >= n_ext
+    if (
+        scene.has_triangles
+        and not (scene.has_spheres or scene.has_patches or scene.has_instanced)
+    ):
+        from shimmer_tpu.shapes.triangle import (
+            _traverse_raw,
+            triangle_interaction_from_raw,
+        )
+
+        _, tri = _traverse_raw(
+            scene.triangles,
+            jax.lax.stop_gradient(ray_o),
+            jax.lax.stop_gradient(ray_d),
+            jax.lax.stop_gradient(t_max),
+            any_hit=want_any,
+        )
+        si = triangle_interaction_from_raw(
+            scene.triangles, ray_o[:n_ext], ray_d[:n_ext], tri[:n_ext]
+        )
+        return si, tri[n_ext:] >= 0
+    si_all = scene_intersect(scene, ray_o, ray_d, t_max, want_any=want_any)
+    si = type(si_all)(
+        **{
+            f.name: getattr(si_all, f.name)[:n_ext]
+            for f in dataclasses.fields(si_all)
+        }
+    )
+    return si, si_all.valid[n_ext:]
 
 
 def _closer(a, b):

@@ -538,13 +538,16 @@ def _use_pallas(tris: TriangleSceneData) -> bool:
     return fits and jax.default_backend() == "tpu"
 
 
-def _traverse_any(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
-    """Backend dispatch; both paths return (t, tri, b0, b1, b2, verts)
-    with t = +inf on miss."""
+def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
+    """Backend dispatch; both paths return only ``(t, tri)`` with
+    t = +inf on miss.  Barycentrics/vertices are re-derived by callers
+    that need them (one vertex gather + re-intersection) — keeping the
+    traversal contract minimal is what makes shadow-only queries and
+    the Pallas unsort cheap."""
     if _use_pallas(tris):
-        from shimmer_tpu.ops.pallas.traverse import traverse_packets
+        from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
 
-        return traverse_packets(
+        return traverse_packets_raw(
             tris, ray_o, ray_d, t_max, any_hit=any_hit,
             interpret=tris.traversal == "pallas"
             and jax.default_backend() != "tpu",
@@ -555,7 +558,7 @@ def _traverse_any(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
     t, tri, b0, b1, b2, verts = _traverse(
         tris, ray_o, ray_d, t_max, any_hit=any_hit
     )
-    return jnp.where(tri >= 0, t, jnp.inf), tri, b0, b1, b2, verts
+    return jnp.where(tri >= 0, t, jnp.inf), tri
 
 
 def triangle_scene_intersect(
@@ -567,28 +570,39 @@ def triangle_scene_intersect(
     want_any: per-lane any-hit flags (see scene.scene_intersect)."""
     # Traversal runs on detached rays (lax.while_loop is not reverse-mode
     # differentiable, and hit *topology* is discrete anyway).
-    t, tri, b0, b1, b2, verts = _traverse_any(
+    t, tri = _traverse_raw(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
         jax.lax.stop_gradient(t_max),
         any_hit=want_any,
     )
-    valid = tri >= 0
-    tri_c = jnp.maximum(tri, 0)
+    return triangle_interaction_from_raw(tris, ray_o, ray_d, tri)
 
-    if tris.differentiable_hits:
-        # Re-intersect the chosen triangle from the (differentiable)
-        # vertex pool — the standard detached-traversal construction for
-        # differentiable rendering; gradients flow to vertex positions.
-        _, p0, p1, p2 = _gather_tri(tris, tri_c)
-        _, t, b0, b1, b2 = intersect_triangle(
-            ray_o, ray_d, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
-        )
-    else:
-        p0 = verts[..., 0:3]
-        p1 = verts[..., 3:6]
-        p2 = verts[..., 6:9]
+
+def triangle_interaction_from_raw(
+    tris: TriangleSceneData, ray_o, ray_d, tri
+) -> SurfaceInteraction:
+    """Interaction from a raw traversal result (winning tri per lane).
+
+    Re-intersects the winning triangle (identical watertight formulas,
+    so the hit decision reproduces bit-for-bit given equal inputs).
+    With differentiable_hits this is the standard detached-traversal
+    construction for differentiable rendering: gradients flow through
+    the re-intersection to ray and vertex positions; otherwise the
+    inputs are detached and it is purely the (t, b0, b1, b2) rebuild."""
+    tri_c = jnp.maximum(tri, 0)
+    _, p0, p1, p2 = _gather_tri(tris, tri_c)
+    ro, rd = ray_o, ray_d
+    if not tris.differentiable_hits:
+        p0 = jax.lax.stop_gradient(p0)
+        p1 = jax.lax.stop_gradient(p1)
+        p2 = jax.lax.stop_gradient(p2)
+        ro = jax.lax.stop_gradient(ray_o)
+        rd = jax.lax.stop_gradient(ray_d)
+    _, t, b0, b1, b2 = intersect_triangle(
+        ro, rd, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
+    )
     return build_triangle_interaction(
         tris.attr_rows, tris.has_normals, ray_o, ray_d,
         t, tri, b0, b1, b2, p0, p1, p2,
@@ -690,7 +704,7 @@ def build_triangle_interaction(
 def triangle_scene_occluded(tris: TriangleSceneData, ray_o, ray_d, t_max):
     """Any-hit shadow query (aggregate.rs:141-203 intersect_predicate).
     Visibility is discrete — evaluated on detached rays."""
-    _, tri, _, _, _, _ = _traverse_any(
+    _, tri = _traverse_raw(
         tris,
         jax.lax.stop_gradient(ray_o),
         jax.lax.stop_gradient(ray_d),
