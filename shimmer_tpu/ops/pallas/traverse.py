@@ -424,11 +424,16 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
         want = want[order]
     if npad != n:
         # padded lanes: d = +z, t_max = 0 -> inactive from the first step
+        # Explicit f32 dtypes: with x64 enabled the default-dtype pads
+        # would silently promote the whole ray buffer (advisor r3).
         zpad = jnp.zeros((npad - n,), jnp.float32)
-        ray_o = jnp.concatenate([ray_o, jnp.zeros((npad - n, 3))], axis=0)
+        ray_o = jnp.concatenate(
+            [ray_o, jnp.zeros((npad - n, 3), jnp.float32)], axis=0
+        )
         ray_d = jnp.concatenate(
-            [ray_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
-                                     (npad - n, 3))], axis=0
+            [ray_d, jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), (npad - n, 3))],
+            axis=0,
         )
         t_max = jnp.concatenate([t_max, zpad], axis=0)
         want = jnp.concatenate([want, zpad > 0.0], axis=0)

@@ -324,7 +324,7 @@ TRAVERSE_CHUNK = 8
 
 def _traverse(
     tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit=False,
-    with_stats=False,
+    with_stats=False, raw=False,
 ):
     """Lock-step 8-wide bitstack BVH traversal (see ops/bvh8.py).
 
@@ -335,6 +335,11 @@ def _traverse(
     Returns (t, tri_idx, b0, b1, b2, tri_verts) with tri_idx = -1 for
     misses and tri_verts (..., 9) the winning triangle's vertices (from
     the leaf row, so no post-traversal vertex gather is needed).
+    With ``raw=True`` only (t, tri_idx) are computed — b0/b1/verts are
+    dropped from the loop state entirely, matching the minimal contract
+    of _traverse_raw (callers re-intersect the winner when they need
+    barycentrics), which saves the dead pick work and loop-state
+    memory traffic (advisor r3).
 
     Each step costs ONE (N, 128) row gather — the dominant cost — plus
     VPU tile work: an (N, 8) slab test or an (N, 8) watertight triangle
@@ -369,8 +374,9 @@ def _traverse(
         # visits is only carried (and only traced) when with_stats is set —
         # XLA cannot DCE loop-carried state, so the stats counter must not
         # ride in the hot loop by default (advisor r2).
-        (group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
-         verts) = state[:10]
+        (group, group_t, sp, stack, stack_t, t_best, tri_best) = state[:7]
+        if not raw:
+            b0, b1, verts = state[7:10]
         active = lane_active(group, sp, tri_best)
 
         # Pop when the current group has no pending bits; prune popped
@@ -395,7 +401,7 @@ def _traverse(
         row_idx = jnp.where(active, row_idx, 0)
         row = rows_tab[row_idx]                  # THE gather (N, 128)
         if with_stats:
-            visits = state[10] + active.astype(jnp.int32)
+            visits = state[-1] + active.astype(jnp.int32)
 
         count = row[:, 80].astype(jnp.int32)
         is_leaf = active & (count > 0)
@@ -456,16 +462,17 @@ def _traverse(
         tri_best = jnp.where(
             closer, pick(row[:, 72:80]).astype(jnp.int32), tri_best
         )
-        b0 = jnp.where(closer, pick(bb0), b0)
-        b1 = jnp.where(closer, pick(bb1), b1)
-        verts_new = jnp.concatenate(
-            [
-                jnp.sum(jnp.where(oh[:, :, None], v, 0.0), axis=1)
-                for v in (p0, p1, p2)
-            ],
-            axis=-1,
-        )
-        verts = jnp.where(closer[:, None], verts_new, verts)
+        if not raw:
+            b0 = jnp.where(closer, pick(bb0), b0)
+            b1 = jnp.where(closer, pick(bb1), b1)
+            verts_new = jnp.concatenate(
+                [
+                    jnp.sum(jnp.where(oh[:, :, None], v, 0.0), axis=1)
+                    for v in (p0, p1, p2)
+                ],
+                axis=-1,
+            )
+            verts = jnp.where(closer[:, None], verts_new, verts)
 
         # Transition: descend into the nearest hit child; push (a) the
         # current group's sibling remainder (conservative entry = the
@@ -487,10 +494,9 @@ def _traverse(
         group_next = jnp.where(descend, child_group, group_rem)
         group = jnp.where(active, group_next, group)
         group_t = jnp.where(descend, near_t, group_t)
-        out = (
-            group, group_t, sp, stack, stack_t, t_best, tri_best, b0, b1,
-            verts,
-        )
+        out = (group, group_t, sp, stack, stack_t, t_best, tri_best)
+        if not raw:
+            out = out + (b0, b1, verts)
         if with_stats:
             out = out + (visits,)
         return out
@@ -511,17 +517,26 @@ def _traverse(
         jnp.zeros((n, depth), jnp.float32),  # stack_t
         jnp.asarray(jnp.broadcast_to(t_max, (n,)), jnp.float32),
         jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros((n, 9), jnp.float32),
     )
+    if not raw:
+        state = state + (
+            jnp.zeros(n, jnp.float32),
+            jnp.zeros(n, jnp.float32),
+            jnp.zeros((n, 9), jnp.float32),
+        )
     if with_stats:
         state = state + (jnp.zeros(n, jnp.int32),)  # visits
     state = jax.lax.while_loop(cond, chunk, state)
-    (_, _, _, _, _, t_best, tri_best, b0, b1, verts) = state[:10]
+    t_best, tri_best = state[5], state[6]
+    if raw:
+        t_best = jnp.where(tri_best >= 0, t_best, jnp.inf)
+        if with_stats:
+            return t_best, tri_best, state[-1]
+        return t_best, tri_best
+    b0, b1, verts = state[7], state[8], state[9]
     b2 = jnp.where(tri_best >= 0, 1.0 - b0 - b1, 0.0)
     if with_stats:
-        return t_best, tri_best, b0, b1, b2, verts, state[10]
+        return t_best, tri_best, b0, b1, b2, verts, state[-1]
     return t_best, tri_best, b0, b1, b2, verts
 
 
@@ -555,10 +570,7 @@ def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             # shadow batches and compacts dead lanes into idle packets.
             sort_rays=True,
         )
-    t, tri, b0, b1, b2, verts = _traverse(
-        tris, ray_o, ray_d, t_max, any_hit=any_hit
-    )
-    return jnp.where(tri >= 0, t, jnp.inf), tri
+    return _traverse(tris, ray_o, ray_d, t_max, any_hit=any_hit, raw=True)
 
 
 def triangle_scene_intersect(
@@ -603,6 +615,13 @@ def triangle_interaction_from_raw(
     _, t, b0, b1, b2 = intersect_triangle(
         ro, rd, jnp.full(ray_o.shape[:-1], jnp.inf), p0, p1, p2
     )
+    # Miss lanes would otherwise carry finite-but-garbage barycentrics
+    # derived from triangle 0; zero them so p/uv/n are benign for any
+    # consumer that forgets to gate on si.valid (advisor r3).
+    hit = tri >= 0
+    b0 = jnp.where(hit, b0, 0.0)
+    b1 = jnp.where(hit, b1, 0.0)
+    b2 = jnp.where(hit, b2, 0.0)
     return build_triangle_interaction(
         tris.attr_rows, tris.has_normals, ray_o, ray_d,
         t, tri, b0, b1, b2, p0, p1, p2,
