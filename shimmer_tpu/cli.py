@@ -68,6 +68,8 @@ def main(argv=None):
             integrator=integrator, spp=spp, max_depth=max_depth,
             wave_spp=args.wave_spp, pixel_block=args.pixel_block,
             progress=progress,
+            disable_pixel_jitter=job.disable_pixel_jitter,
+            disable_wavelength_jitter=job.disable_wavelength_jitter,
         )
     import numpy as np
 

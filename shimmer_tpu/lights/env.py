@@ -42,6 +42,56 @@ class EnvLightData:
     scene_radius: jnp.ndarray  # ()
 
 
+def _equal_area_square_to_sphere_np(u, v):
+    """Numpy equal-area octahedral square→sphere (vecmath.py:220, host
+    version so map baking never touches the device)."""
+    u = 2.0 * u - 1.0
+    v = 2.0 * v - 1.0
+    up, vp = np.abs(u), np.abs(v)
+    sd = 1.0 - (up + vp)
+    d = np.abs(sd)
+    r = 1.0 - d
+    phi = np.where(r == 0.0, 1.0, (vp - up) / np.maximum(r, 1e-12) + 1.0) * (
+        np.pi / 4.0
+    )
+    z = np.copysign(1.0 - r * r, sd)
+    cos_phi = np.copysign(np.cos(phi), u)
+    sin_phi = np.copysign(np.sin(phi), v)
+    s = r * np.sqrt(np.maximum(2.0 - r * r, 0.0))
+    return cos_phi * s, sin_phi * s, z
+
+
+def equirect_to_equal_area(img: np.ndarray, out_res: int | None = None):
+    """Resample a lat-long (equirectangular) map into the equal-area
+    octahedral square layout the light uses (pbrt-v4 does the same
+    conversion at image load; the reference only reads square maps,
+    light.rs:805-981).  Bilinear with longitude wrap-around."""
+    h, w, c = img.shape
+    s = int(out_res or min(max(h, 64), 2048))
+    uv = (np.arange(s, dtype=np.float64) + 0.5) / s
+    uu, vv = np.meshgrid(uv, uv, indexing="xy")   # uu→x(col), vv→y(row)
+    x, y, z = _equal_area_square_to_sphere_np(uu, vv)
+    theta = np.arccos(np.clip(z, -1.0, 1.0))
+    phi = np.mod(np.arctan2(y, x), 2.0 * np.pi)
+    fx = phi / (2.0 * np.pi) * w - 0.5
+    fy = theta / np.pi * h - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w, x1w = x0 % w, (x0 + 1) % w            # longitude wraps
+    y0c = np.clip(y0, 0, h - 1)                # latitude clamps at poles
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    im = np.asarray(img, np.float64)
+    out = (
+        im[y0c, x0w] * (1 - tx) * (1 - ty)
+        + im[y0c, x1w] * tx * (1 - ty)
+        + im[y1c, x0w] * (1 - tx) * ty
+        + im[y1c, x1w] * tx * ty
+    )
+    return out
+
+
 def build_env_light(
     image_rgb: np.ndarray,
     colorspace,
@@ -61,7 +111,10 @@ def build_env_light(
 
     img = np.asarray(image_rgb, np.float64)
     h, w, _ = img.shape
-    assert h == w, "equal-area octahedral maps are square"
+    if h != w:
+        # pbrt-format scenes commonly ship lat-long maps; convert.
+        img = equirect_to_equal_area(img)
+        h, w, _ = img.shape
     m = np.max(img, axis=-1)
     texel_scale = 2.0 * m
     base = np.where(

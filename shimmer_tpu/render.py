@@ -41,18 +41,24 @@ def render_pixel_samples(
     pixel_valid=None,
     max_depth: int = 5,
     use_visible_wavelengths: bool = True,
+    disable_pixel_jitter: bool = False,
+    disable_wavelength_jitter: bool = False,
 ):
     """Core wave body: render every sample index for a pixel block and
     scatter into the film (evaluate_pixel_sample, integrator.rs:326-396).
 
     pixel_xy: (N, 2) int32; pixel_valid: optional (N,) mask for padded
     lanes (their filter weight is zeroed, so they never contribute).
+    disable_*_jitter: the in-scene Option flags (scene.rs:1379-1393) —
+    pin the filter / wavelength samples at 0.5.
     """
 
     def one_sample(fs, sample_index):
         s_state = sampler.start_pixel_sample(pixel_xy, sample_index)
         # Draw order mirrors the reference: wavelengths, filter, lens.
         u_lam, s_state = sampler.get_1d(s_state)
+        if disable_wavelength_jitter:
+            u_lam = jnp.full_like(u_lam, 0.5)
         if use_visible_wavelengths:
             swl = film.sample_wavelengths(u_lam)
         else:
@@ -60,6 +66,8 @@ def render_pixel_samples(
 
             swl = SampledWavelengths.sample_uniform(u_lam)
         u_filter, s_state = sampler.get_pixel_2d(s_state)
+        if disable_pixel_jitter:
+            u_filter = jnp.full_like(u_filter, 0.5)
         u_lens, s_state = sampler.get_2d(s_state)
         p_film, weight, u_lens = get_camera_sample(
             film.filter, pixel_xy, u_filter, u_lens
@@ -98,6 +106,8 @@ def make_wave_renderer(
     regularize: bool = False,
     use_visible_wavelengths: bool = True,
     integrator_options: dict | None = None,
+    disable_pixel_jitter: bool = False,
+    disable_wavelength_jitter: bool = False,
 ):
     """Jitted wave function over a pixel block.
 
@@ -133,6 +143,8 @@ def make_wave_renderer(
             pixel_valid=pixel_valid,
             max_depth=max_depth,
             use_visible_wavelengths=use_visible_wavelengths,
+            disable_pixel_jitter=disable_pixel_jitter,
+            disable_wavelength_jitter=disable_wavelength_jitter,
         )
 
     return jax.jit(render_samples)
@@ -263,6 +275,8 @@ def render(
     film_state: FilmState | None = None,
     progress=None,
     pixel_block: int = DEFAULT_PIXEL_BLOCK,
+    disable_pixel_jitter: bool = False,
+    disable_wavelength_jitter: bool = False,
 ):
     """Full render: wave × pixel-block loop on host, ONE jitted program.
 
@@ -280,6 +294,8 @@ def render(
         max_depth,
         regularize,
         integrator_options=integrator_options,
+        disable_pixel_jitter=disable_pixel_jitter,
+        disable_wavelength_jitter=disable_wavelength_jitter,
     )
     state = film_state if film_state is not None else film.init_state()
     blocks, valids = pixel_blocks(film, pixel_block)

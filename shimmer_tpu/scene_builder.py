@@ -37,6 +37,7 @@ def build_scene(
     textures=None,
     spectra_table=None,
     env=None,
+    env_spec: dict | None = None,
     render_from_world=None,
 ) -> Scene:
     """Assemble a device Scene.
@@ -109,6 +110,20 @@ def build_scene(
         hi = np.asarray(geom.world_max)
         scene_radius = max(
             scene_radius, float(np.linalg.norm(hi - lo) * 0.5 + np.linalg.norm((hi + lo) * 0.5))
+        )
+
+    # Deferred env-light bake: callers hand the raw map + transform here so
+    # the light sees the COMPUTED scene radius, not a hardcoded default
+    # (integrator.rs:72-81 preprocesses every light with scene bounds).
+    if env is None and env_spec is not None:
+        from shimmer_tpu.lights.env import build_env_light
+
+        env = build_env_light(
+            env_spec["image"],
+            cs,
+            scale=float(env_spec.get("scale", 1.0)),
+            render_from_light=env_spec.get("render_from_light"),
+            scene_radius=scene_radius,
         )
 
     # --- lights ---

@@ -306,3 +306,144 @@ class TestBilinearMesh:
         )
         img = np.asarray(img)
         assert np.isfinite(img).all() and img.mean() > 0
+
+
+class TestEnvScenePreprocess:
+    """Scene-bounds-derived light preprocessing + equirect env maps
+    (integrator.rs:72-81 hands scene bounds to every light)."""
+
+    def _scene_text(self, pfm_name, span):
+        return f"""
+LookAt 0 0 -5  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "independent" "integer pixelsamples" [2]
+Integrator "path" "integer maxdepth" [3]
+WorldBegin
+LightSource "infinite" "string filename" ["{pfm_name}"]
+AttributeBegin
+Material "diffuse" "rgb reflectance" [0.5 0.5 0.5]
+Shape "trianglemesh"
+  "point3 P" [-{span} -1 -{span}  {span} -1 -{span}  {span} -1 {span}  -{span} -1 {span}]
+  "integer indices" [0 1 2 0 2 3]
+AttributeEnd
+"""
+
+    def test_scene_radius_from_bounds(self, tmp_path):
+        from shimmer_tpu.film.image import Image
+
+        # lat-long 2:1 map — exercises the equirect conversion too
+        img = np.full((32, 64, 3), 0.5, np.float32)
+        Image(img).write(tmp_path / "sky.pfm")
+        b = SceneBuilder(search_dir=tmp_path)
+        parse_str(self._scene_text("sky.pfm", 800.0), b, search_dir=tmp_path)
+        job = b.create()
+        r = float(np.asarray(job.scene.env.scene_radius))
+        # floor quad spans ±800 → radius must scale with the geometry,
+        # not the old hardcoded 100
+        assert r > 800.0, r
+        assert float(np.asarray(job.scene.lights.scene_radius)) > 800.0
+
+    def test_equirect_env_renders(self, tmp_path):
+        from shimmer_tpu.film.image import Image
+        from shimmer_tpu.render import render
+
+        # bright band near theta=pi/2 (horizon), dark poles
+        h, w = 32, 64
+        img = np.zeros((h, w, 3), np.float32)
+        img[h // 2 - 4 : h // 2 + 4] = 2.0
+        Image(img).write(tmp_path / "sky.pfm")
+        b = SceneBuilder(search_dir=tmp_path)
+        parse_str(self._scene_text("sky.pfm", 4.0), b, search_dir=tmp_path)
+        job = b.create()
+        out, _ = render(
+            job.scene, job.camera, job.film, job.sampler,
+            integrator=job.integrator, spp=4, max_depth=3, wave_spp=4,
+        )
+        a = np.asarray(out)
+        assert np.all(np.isfinite(a))
+        assert a.mean() > 1e-3
+
+    def test_equirect_direction_mapping(self):
+        """Equal-area resample preserves the lat-long direction layout:
+        a map bright only at theta<pi/4 (the +z cap) must light +z
+        directions and not -z."""
+        import jax.numpy as jnp
+
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.lights.env import build_env_light, env_le
+        from shimmer_tpu.spectra.sampled import SampledWavelengths
+
+        h, w = 64, 128
+        img = np.zeros((h, w, 3), np.float32)
+        img[: h // 4] = 3.0              # theta in [0, pi/4): around +z
+        cs = get_named_color_space("srgb")
+        env = build_env_light(img, cs, scene_radius=10.0)
+        swl = SampledWavelengths.sample_uniform(jnp.full(2, 0.4))
+        up = env_le(env, jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]]), swl)
+        up = np.asarray(up)
+        assert up[0].mean() > 1e-3, up
+        assert up[1].mean() < 1e-6, up
+
+
+class TestOptionAttribute:
+    """In-scene Option + scoped Attribute directives
+    (scene.rs:1375-1454, 1714-1730)."""
+
+    BASE = """
+Option "integer seed" [7] "bool disablepixeljitter" true
+Camera "perspective" "float fov" [45]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "independent" "integer pixelsamples" [2]
+Integrator "path"
+WorldBegin
+%s
+"""
+
+    def test_option_seed_and_jitter(self):
+        b = SceneBuilder()
+        parse_str(
+            self.BASE % 'Shape "sphere" "float radius" [1]', b
+        )
+        job = b.create()
+        assert job.disable_pixel_jitter is True
+        assert job.disable_wavelength_jitter is False
+        assert job.sampler.seed == 7
+
+    def test_attribute_scoped_defaults(self):
+        body = """
+AttributeBegin
+Attribute "shape" "float radius" [3.5]
+Shape "sphere"
+AttributeEnd
+Shape "sphere"
+"""
+        b = SceneBuilder()
+        parse_str(self.BASE % body, b)
+        # first sphere picks up the scoped radius; second reverts to
+        # the default 1.0 (scope popped at AttributeEnd)
+        r0 = b.shapes[0]["pd"].get_one_float("radius", 1.0)
+        r1 = b.shapes[1]["pd"].get_one_float("radius", 1.0)
+        assert r0 == 3.5 and r1 == 1.0
+
+    def test_attribute_directive_priority(self):
+        body = """
+Attribute "shape" "float radius" [3.5]
+Shape "sphere" "float radius" [2.0]
+"""
+        b = SceneBuilder()
+        parse_str(self.BASE % body, b)
+        assert b.shapes[0]["pd"].get_one_float("radius", 1.0) == 2.0
+
+    def test_rendercoordsys_camera(self):
+        b = SceneBuilder()
+        parse_str(
+            ('Option "string rendercoordsys" ["camera"]\n' + self.BASE)
+            % 'Shape "sphere" "float radius" [1]', b
+        )
+        job = b.create()
+        import jax.numpy as jnp
+        # camera rendering space: render origin == camera origin and
+        # render axes == camera axes, so render_from_camera == identity
+        rfc = np.asarray(job.camera.camera_transform.render_from_camera.m)
+        np.testing.assert_allclose(rfc, np.eye(4), atol=1e-6)
