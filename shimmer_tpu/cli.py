@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--wave-spp", type=int, default=4)
     ap.add_argument("--pixel-block", type=int, default=1 << 15)
     ap.add_argument("--shard", action="store_true", help="shard across all local devices")
+    ap.add_argument(
+        "--megakernel", action="store_true",
+        help="force the masked megakernel instead of the wavefront integrator",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", "-q", action="store_true")
     args = ap.parse_args(argv)
@@ -59,6 +63,7 @@ def main(argv=None):
             job.scene, job.camera, job.film, job.sampler,
             integrator=integrator, spp=spp, max_depth=max_depth,
             wave_spp=args.wave_spp,
+            wavefront=False if args.megakernel else None,
         )
     else:
         from shimmer_tpu.render import render
@@ -70,6 +75,7 @@ def main(argv=None):
             progress=progress,
             disable_pixel_jitter=job.disable_pixel_jitter,
             disable_wavelength_jitter=job.disable_wavelength_jitter,
+            wavefront=False if args.megakernel else None,
         )
     import numpy as np
 

@@ -118,6 +118,8 @@ def render_wave_wavefront(
     pixel_spread: float = 0.0,
     use_visible_wavelengths: bool = True,
     return_stats: bool = False,
+    disable_pixel_jitter: bool = False,
+    disable_wavelength_jitter: bool = False,
 ):
     """Render every (pixel in block) x (sample index) pair with a
     regenerating wavefront.  Returns the updated FilmState (and a stats
@@ -144,11 +146,15 @@ def render_wave_wavefront(
 
         s_state = sampler.start_pixel_sample(px, samp)
         u_lam, s_state = sampler.get_1d(s_state)
+        if disable_wavelength_jitter:
+            u_lam = jnp.full_like(u_lam, 0.5)
         if use_visible_wavelengths:
             swl = film.sample_wavelengths(u_lam)
         else:
             swl = SampledWavelengths.sample_uniform(u_lam)
         u_f, s_state = sampler.get_pixel_2d(s_state)
+        if disable_pixel_jitter:
+            u_f = jnp.full_like(u_f, 0.5)
         u_l, s_state = sampler.get_2d(s_state)
         p_film, w, u_l = get_camera_sample(film.filter, px, u_f, u_l)
         ray = camera.generate_ray(p_film, u_l)

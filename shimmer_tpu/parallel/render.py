@@ -43,6 +43,7 @@ def make_sharded_wave_renderer(
     max_depth: int = 5,
     mode: str = "tiles",
     integrator_options: dict | None = None,
+    wavefront: bool | None = None,
 ):
     """Build the sharded per-wave render function.
 
@@ -50,14 +51,34 @@ def make_sharded_wave_renderer(
     created with :func:`init_sharded_film_state`.
     mode="spp":  film replicated; each device renders every pixel for a
     disjoint slice of sample indices; states are psummed.
+    wavefront: None = use the regenerating wavefront (the production
+    integrator, see integrators/wavefront.py) whenever the estimator is
+    the full path integrator; False forces the masked megakernel.
     """
     li_fn = INTEGRATORS[integrator]
     opts = dict(integrator_options or {})
+    use_wavefront = (
+        integrator == "path" and not opts if wavefront is None else wavefront
+    )
+    if use_wavefront:
+        from shimmer_tpu.integrators.wavefront import render_wave_wavefront
+
     w, h = film.resolution
     n_dev = mesh.shape[mesh.axis_names[0]]
     axis = mesh.axis_names[0]
     assert h % n_dev == 0, f"film height {h} not divisible by {n_dev} devices"
     rows_per = h // n_dev
+
+    def _device_render(film_state, sample_indices, pixel_xy, local_film):
+        if use_wavefront:
+            return render_wave_wavefront(
+                scene, camera, local_film, sampler, film_state,
+                sample_indices, pixel_xy, None, max_depth=max_depth,
+            )
+        return render_pixel_samples(
+            scene, camera, local_film, sampler, li_fn, opts, film_state,
+            sample_indices, pixel_xy, max_depth=max_depth,
+        )
 
     if mode == "tiles":
 
@@ -75,17 +96,8 @@ def make_sharded_wave_renderer(
             )
             # ...but film scatter uses shard-local row indices.
             local_film = LocalBandFilm(film, band)
-            return render_pixel_samples(
-                scene,
-                camera,
-                local_film,
-                sampler,
-                li_fn,
-                opts,
-                film_state,
-                sample_indices,
-                pixel_global,
-                max_depth=max_depth,
+            return _device_render(
+                film_state, sample_indices, pixel_global, local_film
             )
 
         return jax.jit(
@@ -113,18 +125,7 @@ def make_sharded_wave_renderer(
         def wave_body(film_state: FilmState, sample_indices):
             # sample_indices: (D, n_wave) sharded — each device gets a slice.
             my = sample_indices.reshape(-1)
-            fs = render_pixel_samples(
-                scene,
-                camera,
-                film,
-                sampler,
-                li_fn,
-                opts,
-                film_state,
-                my,
-                pixel_xy,
-                max_depth=max_depth,
-            )
+            fs = _device_render(film_state, my, pixel_xy, film)
             # Cross-chip film reduction (the psum over ICI in BASELINE.json).
             return jax.tree.map(lambda x: jax.lax.psum(x, axis), fs)
 
@@ -184,13 +185,14 @@ def render_sharded(
     wave_spp: int = 4,
     mode: str = "tiles",
     integrator_options: dict | None = None,
+    wavefront: bool | None = None,
 ):
     """Multi-chip render loop; same contract as shimmer_tpu.render.render."""
     mesh = mesh or make_tile_mesh()
     spp = spp if spp is not None else sampler.samples_per_pixel
     wave_fn = make_sharded_wave_renderer(
         scene, camera, film, sampler, mesh, integrator, max_depth, mode,
-        integrator_options,
+        integrator_options, wavefront=wavefront,
     )
     n_dev = mesh.shape[mesh.axis_names[0]]
     if mode == "tiles":

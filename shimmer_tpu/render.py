@@ -202,6 +202,8 @@ def make_wavefront_renderer(
     regularize: bool = False,
     use_visible_wavelengths: bool = True,
     with_stats: bool = False,
+    disable_pixel_jitter: bool = False,
+    disable_wavelength_jitter: bool = False,
 ):
     """Jitted regenerating-wavefront wave function (the production path;
     see integrators/wavefront.py).  Signature matches make_wave_renderer:
@@ -231,6 +233,8 @@ def make_wavefront_renderer(
             pixel_spread=spread,
             use_visible_wavelengths=use_visible_wavelengths,
             return_stats=with_stats,
+            disable_pixel_jitter=disable_pixel_jitter,
+            disable_wavelength_jitter=disable_wavelength_jitter,
         )
 
     return jax.jit(render_samples)
@@ -277,26 +281,50 @@ def render(
     pixel_block: int = DEFAULT_PIXEL_BLOCK,
     disable_pixel_jitter: bool = False,
     disable_wavelength_jitter: bool = False,
+    wavefront: bool | None = None,
 ):
     """Full render: wave × pixel-block loop on host, ONE jitted program.
 
     Returns the resolved (H, W, 3) image and the final FilmState.  The
     FilmState after any wave is a checkpoint: pass it back as
     ``film_state`` to resume (the checkpoint/resume hook the reference
-    lacks, SURVEY.md §5)."""
+    lacks, SURVEY.md §5).
+
+    wavefront: None (default) uses the regenerating-wavefront integrator
+    whenever the estimator is the full path integrator — it is the
+    production path (4-10x fewer traversal dispatches); pass False to
+    force the masked megakernel (the reverse-differentiable path)."""
     spp = spp if spp is not None else sampler.samples_per_pixel
-    wave_fn = make_wave_renderer(
-        scene,
-        camera,
-        film,
-        sampler,
-        integrator,
-        max_depth,
-        regularize,
-        integrator_options=integrator_options,
-        disable_pixel_jitter=disable_pixel_jitter,
-        disable_wavelength_jitter=disable_wavelength_jitter,
+    use_wavefront = (
+        integrator == "path" and not integrator_options
+        if wavefront is None
+        else wavefront
     )
+    if use_wavefront:
+        wf = make_wavefront_renderer(
+            scene,
+            camera,
+            film,
+            sampler,
+            max_depth=max_depth,
+            regularize=regularize,
+            disable_pixel_jitter=disable_pixel_jitter,
+            disable_wavelength_jitter=disable_wavelength_jitter,
+        )
+        wave_fn = wf
+    else:
+        wave_fn = make_wave_renderer(
+            scene,
+            camera,
+            film,
+            sampler,
+            integrator,
+            max_depth,
+            regularize,
+            integrator_options=integrator_options,
+            disable_pixel_jitter=disable_pixel_jitter,
+            disable_wavelength_jitter=disable_wavelength_jitter,
+        )
     state = film_state if film_state is not None else film.init_state()
     blocks, valids = pixel_blocks(film, pixel_block)
     n_blocks = blocks.shape[0]
