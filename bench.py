@@ -7,12 +7,17 @@ with the full path integrator (NEE + MIS + RR) at 1280x720.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 100 (BASELINE.md: >= 100 Mrays/s/chip forward).
+Extra keys on the same line: ``bwd_mrays_per_s`` (path-replay
+value-and-grad wave, the fwd+bwd half of the north star) and the
+traversal self-diagnosis (steps/packet + Mrays/s for coherent primary vs
+incoherent bounce batches) so the throughput gap is attributed in the
+artifact itself.
 
 Stage breakdown (scene build / BVH / compile / per-wave render) goes to
 stderr.  Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 8),
 BENCH_RES ("WxH", default 1280x720), BENCH_BLOCK (lanes per dispatch,
 default 2^16), BENCH_PROFILE (directory -> capture a jax.profiler trace
-of one wave).
+of one wave), BENCH_ATTRIB=0 / BENCH_BWD=0 (skip those phases).
 """
 
 from __future__ import annotations
@@ -314,6 +319,27 @@ def main():
     assert np.isfinite(mean) and mean > 0, "bench render produced bad image"
     log(f"{timed_spp} spp in {render_s:.2f}s, image mean {mean:.4f}")
 
+    extras = {}
+
+    # --- traversal self-diagnosis: steps + throughput per ray class ---
+    if os.environ.get("BENCH_ATTRIB", "1") != "0":
+        try:
+            extras.update(traversal_attribution(scene, cam, film))
+        except Exception as e:  # diagnosis must never sink the headline
+            log(f"attribution phase failed: {e!r}")
+
+    # --- backward: path-replay value-and-grad wave (north star fwd+bwd) ---
+    if os.environ.get("BENCH_BWD", "1") != "0":
+        try:
+            extras.update(
+                bwd_benchmark(
+                    scene, cam, film, sampler, blocks, valids, ray_stats,
+                    wave_spp, max_depth, n_blocks,
+                )
+            )
+        except Exception as e:
+            log(f"bwd phase failed: {e!r}")
+
     print(
         json.dumps(
             {
@@ -321,9 +347,127 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                **extras,
             }
         )
     )
+
+
+def traversal_attribution(scene, cam, film, n=1 << 17):
+    """Time the raw packet traversal on coherent primary vs incoherent
+    bounce-like rays, reporting steps/packet so the packet-union factor
+    is visible in the artifact (VERDICT r3 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shimmer_tpu.ops.pallas.traverse import K_PACKETS, P
+    from shimmer_tpu.shapes.triangle import _traverse_raw, _use_pallas
+
+    tris = scene.triangles
+    w, h = film.resolution
+    rng = np.random.default_rng(1)
+    xs = (np.arange(n) % w).astype(np.float32) + 0.5
+    ys = ((np.arange(n) // w) % h).astype(np.float32) + 0.5
+    ray = cam.generate_ray(
+        jnp.asarray(np.stack([xs, ys], -1)), jnp.zeros((n, 2), np.float32)
+    )
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    use_pallas = _use_pallas(tris)
+    out = {"traversal_backend": "pallas" if use_pallas else "xla",
+           "k_packets": K_PACKETS}
+    fn = jax.jit(lambda o, d: _traverse_raw(tris, o, d, jnp.inf, False))
+    if use_pallas:
+        from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
+
+        fn_steps = jax.jit(
+            lambda o, d: traverse_packets_raw(
+                tris, o, d, jnp.inf, return_steps=True, sort_rays=True
+            )
+        )
+    for name, o, d in [
+        ("primary", ray.o, ray.d),
+        ("bounce", jnp.asarray(pts * 1.05), jnp.asarray(dirs)),
+    ]:
+        r = fn(o, d)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        reps = 3
+        for k in range(reps):
+            r = fn(o + 1e-5 * k, d)
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / reps
+        out[f"attrib_{name}_mrays_per_s"] = round(n / dt / 1e6, 3)
+        if use_pallas:
+            steps = np.asarray(fn_steps(o, d)[2]).reshape(-1, P)[:, 0]
+            out[f"attrib_{name}_steps_per_packet"] = round(float(steps.mean()), 1)
+            gs = steps.reshape(-1, K_PACKETS).max(1).sum()
+            out[f"attrib_{name}_ns_per_step"] = round(dt / max(gs, 1) * 1e9, 1)
+        log(
+            f"attrib {name}: {out[f'attrib_{name}_mrays_per_s']} Mrays/s"
+            + (
+                f", {out.get(f'attrib_{name}_steps_per_packet')} steps/packet"
+                f", {out.get(f'attrib_{name}_ns_per_step')} ns/step"
+                if use_pallas
+                else ""
+            )
+        )
+    return out
+
+
+def bwd_benchmark(
+    scene, cam, film, sampler, blocks, valids, ray_stats, wave_spp,
+    max_depth, n_blocks,
+):
+    """Path-replay value-and-grad of one wave block w.r.t. the material
+    table: the fwd+bwd Mrays/s number BASELINE's north star asks for."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from shimmer_tpu.render import make_replay_wavefront_renderer
+
+    replay = make_replay_wavefront_renderer(
+        scene, cam, film, sampler, max_depth=max_depth
+    )
+    idx = jnp.arange(wave_spp, dtype=jnp.uint32)
+    state0 = film.init_state()
+
+    def loss(refl):
+        mats = dataclasses.replace(scene.materials, reflectance=refl)
+        sc = dataclasses.replace(scene, materials=mats)
+        fs = replay(sc, state0, idx, blocks[0], valids[0])
+        return jnp.sum(fs.rgb_sum)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    refl = scene.materials.reflectance
+    t0 = time.time()
+    v, g = vg(refl)
+    jax.block_until_ready(g)
+    log(f"bwd compile+first: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    reps = 2
+    for k in range(reps):
+        v, g = vg(refl * (1.0 + 1e-6 * k))
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / reps
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    # Rays in this wave block: measured by the fwd phase (per block-wave).
+    if ray_stats:
+        rays_block = float(np.asarray(ray_stats[0]))
+    else:
+        w, h = film.resolution
+        rays_block = 2.4 * wave_spp * blocks.shape[1]
+    mrays = rays_block / dt / 1e6
+    log(
+        f"bwd wave (value+grad, {rays_block/1e6:.2f}M rays): {dt:.2f}s "
+        f"= {mrays:.3f} Mrays/s fwd+bwd"
+    )
+    return {"bwd_mrays_per_s": round(mrays, 3)}
 
 
 if __name__ == "__main__":

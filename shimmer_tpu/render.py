@@ -240,6 +240,73 @@ def make_wavefront_renderer(
     return jax.jit(render_samples)
 
 
+def make_replay_wavefront_renderer(
+    scene: Scene,
+    camera,
+    film: RgbFilm,
+    sampler,
+    max_depth: int = 5,
+    regularize: bool = False,
+    use_visible_wavelengths: bool = True,
+):
+    """Differentiable wavefront wave: path-replay backprop (SURVEY §7 P5).
+
+    Forward runs the regenerating-wavefront integrator (fast,
+    lax.while_loop — not reverse-differentiable) and stores NO per-bounce
+    state: the only residuals are the wave inputs themselves.  Backward
+    *replays* every (pixel, sample) path through the reverse-mode
+    megakernel (integrators/path.py::li_path with per-bounce remat) —
+    the counter-based RNG (ops/rng.py) reproduces every decision from
+    (pixel, sample index, dimension) alone, and both integrators draw
+    identical sampler streams (tests/test_wavefront.py), so the replayed
+    estimator equals the forward one and its VJP is the wave's VJP.
+
+    The returned function has the make_wavefront_renderer signature with
+    the scene as a leading traced argument:
+    (scene, film_state, sample_indices, pixel_xy, pixel_valid) ->
+    film_state, and is differentiable w.r.t. scene (material tables,
+    textures, light scales) and film_state."""
+    li_fn = INTEGRATORS["path"]
+    opts = {"regularize": True} if regularize else {}
+    spread = getattr(camera, "pixel_spread", 0.0)
+    if spread:
+        opts["pixel_spread"] = spread * max(
+            0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
+        )
+
+    from shimmer_tpu.integrators.wavefront import render_wave_wavefront
+
+    def _replay(scene, film_state, sample_indices, pixel_xy, pixel_valid):
+        return render_pixel_samples(
+            scene, camera, film, sampler, li_fn, opts, film_state,
+            sample_indices, pixel_xy, pixel_valid=pixel_valid,
+            max_depth=max_depth,
+            use_visible_wavelengths=use_visible_wavelengths,
+        )
+
+    @jax.custom_vjp
+    def wave(scene, film_state, sample_indices, pixel_xy, pixel_valid):
+        return render_wave_wavefront(
+            scene, camera, film, sampler, film_state, sample_indices,
+            pixel_xy, pixel_valid, max_depth=max_depth,
+            regularize=regularize, pixel_spread=opts.get("pixel_spread", 0.0),
+            use_visible_wavelengths=use_visible_wavelengths,
+        )
+
+    def fwd(scene, film_state, sample_indices, pixel_xy, pixel_valid):
+        out = wave(scene, film_state, sample_indices, pixel_xy, pixel_valid)
+        # Residuals = the wave inputs only (per-lane seeds are implicit in
+        # pixel ids + sample indices); nothing per-bounce is stored.
+        return out, (scene, film_state, sample_indices, pixel_xy, pixel_valid)
+
+    def bwd(res, g):
+        _, vjp_fn = jax.vjp(_replay, *res)
+        return vjp_fn(g)
+
+    wave.defvjp(fwd, bwd)
+    return wave
+
+
 DEFAULT_PIXEL_BLOCK = 1 << 15
 
 
