@@ -258,6 +258,9 @@ def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
 
     * internal: c0..c5 = lox loy loz hix hiy hiz, c6 = slot-valid flag
     * leaf:     c0..c8 = p0x..p2z, c9 = BVH-sorted triangle id
+    * both:     c10 = the row's meta word (leaf_count | child_base << 4)
+      as an exact small float — HBM-streamed tiles carry their own meta
+      so non-resident rows need no SMEM meta entry.
 
     This layout makes the per-visit fetch a tile-aligned VMEM load plus
     a dynamic lane roll — no MXU transpose, no precision split
@@ -271,6 +274,8 @@ def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
     is_int = (meta & 15) == 0
     fields[is_int, :, 6] = rr[is_int, 11, :]     # valid flags (cols 88:96)
     fields[:, :, 10:] = 0.0
+    assert int(meta.max(initial=0)) < (1 << 24), "meta must stay exact in f32"
+    fields[:, :, 10] = meta.astype(np.float32)[:, None]
     r8 = -(-n_rows // 8)
     pad = r8 * 8 - n_rows
     if pad:

@@ -42,8 +42,20 @@ ONCE on the first grid step into persistent scratch: passing them as
 grid-blocked operands re-copies them every grid step (measured
 7.1 us/packet for the 71 KB meta SMEM operand alone).
 
-Scenes whose tile table exceeds the VMEM budget fall back to the XLA
-traversal (shapes/triangle.py::_traverse).
+**HBM streaming (Ganesha-scale scenes).**  When the tile table exceeds
+the VMEM budget, only the first ``n_res`` tiles stay resident — the row
+allocation is BFS (ops/bvh8.py::_layout8), so residency = the top of
+the tree, exactly the rows every packet shares; deep rows are cold and
+divergent.  A visit to a non-resident row DMAs its (8, 128) tile from
+HBM into a per-chain slot: each loop iteration first issues the DMA
+*starts* for all K interleaved chains, then does the K compute
+sections, each waiting only on its own copy — so one chain's HBM
+latency overlaps the other chains' VPU work.  Small scenes compile the
+exact non-streaming kernel (the ``stream`` flag is static).  This
+removes the old ~220k-triangle ceiling: any scene whose *top* 48 MB of
+BFS rows covers the hot set runs the fast path
+(/root/reference/src/aggregate.rs:207-467 handles multi-M tris on CPU;
+this is the TPU answer).
 """
 
 from __future__ import annotations
@@ -85,14 +97,21 @@ def _permute3(x, y, z, is0, is1):
 
 def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
                      stack_ref, tab_ref, meta_ref, tab_sem, meta_sem,
-                     *, stack_size, k_packets, n_rows):
+                     far_ref, far_sem,
+                     *, stack_size, k_packets, n_rows, n_res, stream):
     K = k_packets
+    n_res_rows = n_res * 8
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        tab_copy = pltpu.make_async_copy(tab_hbm_ref, tab_ref, tab_sem)
+        # Resident prefix only: BFS row order puts the hot top-of-tree
+        # first; the rest streams per-visit (see module docstring).
+        tab_copy = pltpu.make_async_copy(
+            tab_hbm_ref.at[pl.ds(0, n_res)], tab_ref, tab_sem
+        )
         meta_copy = pltpu.make_async_copy(
-            meta_hbm_ref, meta_ref, meta_sem
+            meta_hbm_ref.at[pl.ds(0, min(n_rows, n_res_rows))], meta_ref,
+            meta_sem,
         )
         tab_copy.start()
         meta_copy.start()
@@ -233,6 +252,12 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         # self-masking (slot_ok = iota8 < cnt is empty on internal
         # rows); internal bits are scalar-gated; stack writes are
         # predicated with scalar selects into harmless slots.
+        #
+        # Streaming mode adds a pop + DMA-start pass over all K chains
+        # BEFORE any compute, so a non-resident row's HBM latency
+        # overlaps the other chains' VPU work (pl.when blocks here cost
+        # pipelining — only compiled when the scene outgrows VMEM).
+        pops = []
         for k in range(K):
             sp = sps[k]
             live = sp > 0
@@ -250,9 +275,42 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
             stack_ref[k, idx] = jnp.where(live, rest, e)
             sp_p = sp - jnp.where((rest & 255) == 0, 1, 0)
             r = jnp.clip((e >> 8) + j, 0, n_rows - 1)
-            m = meta_ref[r]
+            far = live & (r >= n_res_rows) if stream else None
+            if stream:
+
+                @pl.when(far)
+                def _(k=k, r=r):
+                    pltpu.make_async_copy(
+                        tab_hbm_ref.at[r >> 3], far_ref.at[k],
+                        far_sem.at[k],
+                    ).start()
+
+            pops.append((sp, sp_p, r, live, far))
+
+        for k in range(K):
+            sp, sp_p, r, live, far = pops[k]
+            if stream:
+
+                @pl.when(far)
+                def _(k=k, r=r):
+                    pltpu.make_async_copy(
+                        tab_hbm_ref.at[r >> 3], far_ref.at[k],
+                        far_sem.at[k],
+                    ).wait()
+
+                tile_res = tab_ref[jnp.minimum(r >> 3, n_res - 1)]
+                tile = jnp.where(far, far_ref[k][:, :], tile_res)
+                col = pltpu.roll(tile, (128 - ((r & 7) << 4)) & 127, axis=1)
+                # Meta for streamed rows rides in the tile itself
+                # (pack_tiles8 field c10, exact small float).
+                m_far = col[0, 10].astype(jnp.int32)
+                m = jnp.where(
+                    far, m_far, meta_ref[jnp.minimum(r, n_res_rows - 1)]
+                )
+            else:
+                m = meta_ref[r]
+                col = fetch(r)
             cnt = m & 15
-            col = fetch(r)
 
             is_int = live & (cnt == 0)
             bits = internal_step(k, col, t_bs[k], acts[k])
@@ -308,14 +366,19 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_size", "interpret")
+    jax.jit, static_argnames=("stack_size", "interpret", "n_res")
 )
-def _traverse_call(meta, tiles, rays, *, stack_size, interpret):
+def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
     gk = rays.shape[0]
     K = K_PACKETS
+    n_tiles = tiles.shape[0]
+    if n_res is None:
+        n_res = VMEM_TABLE_BYTES // (8 * P * 4)
+    n_res = min(n_res, n_tiles)
+    stream = n_res < n_tiles
     kern = functools.partial(
         _traverse_kernel, stack_size=stack_size, k_packets=K,
-        n_rows=meta.shape[0],
+        n_rows=meta.shape[0], n_res=n_res, stream=stream,
     )
     return pl.pallas_call(
         kern,
@@ -335,10 +398,13 @@ def _traverse_call(meta, tiles, rays, *, stack_size, interpret):
         ),
         scratch_shapes=[
             pltpu.SMEM((K, stack_size), jnp.int32),
-            pltpu.VMEM(tiles.shape, jnp.float32),
-            pltpu.SMEM(meta.shape, jnp.int32),
+            pltpu.VMEM((n_res, 8, P), jnp.float32),
+            pltpu.SMEM((min(meta.shape[0], n_res * 8),), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            # Per-chain landing slot + semaphore for streamed tiles.
+            pltpu.VMEM((K, 8, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((K,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -383,7 +449,7 @@ def ray_sort_keys(tris, ray_o, ray_d):
 
 def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
                          interpret=False, return_steps=False,
-                         sort_rays=False):
+                         sort_rays=False, n_res=None):
     """Minimal packet-traversal entry: returns ``(t, tri)`` (and steps
     when requested) in ORIGINAL ray order — t = +inf on miss.
 
@@ -469,7 +535,7 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
     out = _traverse_call(
         tris.meta, tris.tiles8, rays,
         stack_size=int(tris.stack_depth) + 8,
-        interpret=interpret,
+        interpret=interpret, n_res=n_res,
     )                                                     # (g, 8, P)
     k_rows = 3 if return_steps else 2
     flat = jnp.transpose(out[:, :k_rows], (1, 0, 2)).reshape(

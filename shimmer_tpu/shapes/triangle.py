@@ -541,16 +541,16 @@ def _traverse(
 
 
 def _use_pallas(tris: TriangleSceneData) -> bool:
-    """Static choice of traversal backend (resolved at trace time)."""
+    """Static choice of traversal backend (resolved at trace time).
+
+    The packet kernel streams non-resident node tiles from HBM (see
+    ops/pallas/traverse.py), so there is no table-size ceiling anymore —
+    every TPU scene takes the fast path unless explicitly forced off."""
     if tris.traversal == "xla":
         return False
-    from shimmer_tpu.ops.pallas.traverse import VMEM_TABLE_BYTES
-
-    # f32 rows (512B) + hi|lo bf16 rows (512B) both VMEM-resident.
-    fits = tris.rows8.shape[0] * 1024 <= VMEM_TABLE_BYTES
     if tris.traversal == "pallas":
         return True
-    return fits and jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):

@@ -133,3 +133,40 @@ def test_ragged_packet(scene_and_rays):
     tp, trip, *_ = traverse_packets(tris, o[:n], d[:n], t_max, interpret=True)
     _, trix, *_ = _traverse(tris, o[:n], d[:n], t_max)
     assert ((np.asarray(trip) >= 0) == (np.asarray(trix) >= 0)).all()
+
+
+def test_streaming_matches_resident(scene_and_rays):
+    """HBM-streaming mode (tiny resident budget forces most tiles through
+    the per-chain DMA path) must reproduce the all-resident result
+    exactly — removes the old VMEM table-size ceiling (VERDICT r3 #1)."""
+    from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
+
+    tris, o, d = scene_and_rays
+    t_max = jnp.full(o.shape[0], jnp.inf)
+    n_tiles = tris.tiles8.shape[0]
+    assert n_tiles > 4, "scene too small to exercise streaming"
+
+    t_all, tri_all = traverse_packets_raw(tris, o, d, t_max, interpret=True)
+    # Resident budget of 2 tiles: only the top of the tree stays in
+    # VMEM; every deeper visit goes through the DMA landing slot.
+    t_st, tri_st = traverse_packets_raw(
+        tris, o, d, t_max, interpret=True, n_res=2
+    )
+    np.testing.assert_array_equal(np.asarray(tri_st), np.asarray(tri_all))
+    np.testing.assert_array_equal(np.asarray(t_st), np.asarray(t_all))
+
+
+def test_streaming_any_hit(scene_and_rays):
+    from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
+
+    tris, o, d = scene_and_rays
+    t_max = jnp.full(o.shape[0], jnp.inf)
+    _, tri_all = traverse_packets_raw(
+        tris, o, d, t_max, any_hit=True, interpret=True
+    )
+    _, tri_st = traverse_packets_raw(
+        tris, o, d, t_max, any_hit=True, interpret=True, n_res=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tri_st) >= 0, np.asarray(tri_all) >= 0
+    )
