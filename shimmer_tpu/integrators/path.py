@@ -215,6 +215,46 @@ def sample_ld_prepare(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
     return contrib, (sh_o, sh_d, sh_tmax, usable), s_state
 
 
+def sample_ld_medium_prepare(scene: Scene, p_m, wo, g, swl, sampler, s_state):
+    """NEE from a medium scatter vertex (pbrt-v4 VolPath sample_ld with a
+    phase function in place of the BSDF): HG phase value as f AND as the
+    scattering pdf for the MIS weight (p = pdf for HG), deferred
+    visibility like sample_ld_prepare.  Shadow-segment transmittance is
+    applied by the caller (it owns the sigma_t of the segment)."""
+    from shimmer_tpu.materials.scattering import henyey_greenstein
+
+    uc, s_state = sampler.get_1d(s_state)
+    u2, s_state = sampler.get_2d(s_state)
+    light_idx, pmf, _ = sample_light(scene, uc)
+    zero_n = jnp.zeros_like(p_m)
+    ls = lt.sample_li(
+        scene.lights,
+        light_idx,
+        p_m,
+        zero_n,
+        u2,
+        swl,
+        scene.spheres,
+        scene.light_kinds,
+        tri_sampler=_tri_sampler(scene),
+        env=scene.env,
+        patch_sampler=_patch_sampler(scene),
+    )
+    ph = henyey_greenstein(dot(wo, ls.wi), g)          # (N,)
+    usable = ls.valid & (ls.pdf > 0.0) & (ph > 0.0)
+    p_l = pmf * ls.pdf
+    w_l = jnp.where(
+        ls.is_delta, 1.0, power_heuristic(1.0, p_l, 1.0, ph)
+    ) / jnp.maximum(p_l, 1e-20)
+    contrib = jnp.where(
+        usable[..., None], ph[..., None] * ls.l * w_l[..., None], 0.0
+    )
+    # Shadow segment: medium vertices need no normal offset.
+    sh_d = ls.p_light - p_m
+    sh_tmax = jnp.full(usable.shape, 1.0 - 1e-3, jnp.float32)
+    return contrib, (p_m, sh_d, sh_tmax, usable), s_state
+
+
 def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
     """NEE with immediate visibility (kept for the validation
     integrators); production li_path uses sample_ld_prepare + the merged
@@ -288,19 +328,31 @@ def li_path(
     rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
     si = scene_intersect(scene, ray_o, ray_d, jnp.where(alive, INF, -INF))
 
-    def _emit(carry):
-        """Emission for the current hit/miss (MIS-weighted)."""
+    # Static medium census: the volumetric branch compiles only when the
+    # scene carries a camera/exterior medium (media.py — VolPath,
+    # BASELINE config #5; the reference's Medium is a stub, media.rs:3-5).
+    has_med = scene.media is not None and scene.camera_medium >= 0
+
+    def _emit(carry, scattered=None):
+        """Emission for the current hit/miss (MIS-weighted).
+
+        scattered: lanes whose segment terminated at a medium scatter
+        vertex BEFORE reaching the surface/escape — they see no Le from
+        this segment and stay alive regardless of si.valid."""
         (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
          any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
          si, s_state) = carry
-        miss = alive & ~si.valid
+        reach = alive if scattered is None else (alive & ~scattered)
+        miss = reach & ~si.valid
         l = _infinite_le_with_mis(
             scene, ray_d, swl, beta, p_b, specular, prev_p, prev_ns, l, miss
         )
         l = _area_le_with_mis(
-            scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, alive
+            scene, si, swl, beta, p_b, specular, prev_p, prev_ns, l, reach
         )
-        alive = alive & si.valid
+        alive = alive & (
+            si.valid if scattered is None else (si.valid | scattered)
+        )
         return (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
                 any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
                 si, s_state)
@@ -312,15 +364,58 @@ def li_path(
         the bounce — activation memory O(1) in max_depth, the
         scan-with-recompute form of path-replay backprop (SURVEY §7 P5).
         """
-        carry = _emit(carry)
         (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
          any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
          si, s_state) = carry
 
+        scattered = None
+        if has_med:
+            # --- homogeneous medium: closed-form distance sampling over
+            # the segment just traced (pbrt VolPath semantics; channel-0
+            # hero-wavelength sampling, spectral transmittance ratio) ---
+            from shimmer_tpu.media import medium_sigma
+
+            u_m, s_state = sampler.get_1d(s_state)
+            mid = jnp.full(n, scene.camera_medium, jnp.int32)
+            sig_a, sig_s, g_m = medium_sigma(scene.media, mid, swl.lam)
+            sig_t = sig_a + sig_s
+            sig0 = sig_t[..., 0]
+            t_seg = jnp.where(si.valid, si.t, INF)
+            t_m = -jnp.log1p(
+                -jnp.minimum(u_m, 1.0 - 1e-7)
+            ) / jnp.maximum(sig0, 1e-20)
+            scattered = alive & (sig0 > 0.0) & (t_m < t_seg)
+            survive = alive & (sig0 > 0.0) & ~scattered
+            tr_m = jnp.exp(-sig_t * t_m[..., None])
+            pdf_m = jnp.maximum(sig0 * jnp.exp(-sig0 * t_m), 1e-30)
+            t_far = jnp.minimum(t_seg, 1e20)
+            tr_s = jnp.exp(-sig_t * t_far[..., None])
+            pdf_s = jnp.maximum(jnp.exp(-sig0 * t_far), 1e-30)
+            beta = jnp.where(
+                scattered[..., None],
+                beta * tr_m * sig_s / pdf_m[..., None],
+                jnp.where(
+                    survive[..., None], beta * tr_s / pdf_s[..., None], beta
+                ),
+            )
+            seg_o, seg_d = ray_o, ray_d   # the segment's ray (pre-update)
+
+        carry = (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+                 any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+                 si, s_state)
+        carry = _emit(carry, scattered)
+        (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+         any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+         si, s_state) = carry
+        # Lanes shading a real surface this bounce (scattered lanes shade
+        # their medium vertex instead — even when the segment would have
+        # hit a surface beyond the scatter distance).
+        surf = (alive & si.valid & ~scattered) if has_med else alive
+
         si = _prepare_hit(scene, si, ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
         beta, lam_terminated = _apply_dispersion(
-            scene, si, alive, beta, lam_terminated
+            scene, si, surf, beta, lam_terminated
         )
         frame = si.shading_frame()
         bsdf_ctx = _bsdf_ctx(scene, si, swl)
@@ -335,12 +430,10 @@ def li_path(
 
         # --- NEE: light sample + deferred shadow segment ---
         beta_nee = beta
-        alive_nee = alive
         ld, (sh_o, sh_d, sh_tmax, sh_usable), s_state = sample_ld_prepare(
             scene, si, frame, swl, sampler, s_state, bsdf_ctx
         )
-        sh_live = alive_nee & sh_usable
-        rays_traced = rays_traced + jnp.sum(sh_live.astype(jnp.float32))
+        sh_live = surf & sh_usable
 
         # --- BSDF sampling ---
         u2, s_state = sampler.get_2d(s_state)
@@ -363,7 +456,7 @@ def li_path(
             bs.f * (cos_f / jnp.maximum(bs.pdf, 1e-20))[..., None],
             0.0,
         )
-        beta = jnp.where(alive[..., None], beta * step, beta)
+        beta = jnp.where(surf[..., None], beta * step, beta)
         # pdf for next-vertex MIS; proportional pdfs re-evaluate (bsdf.rs:72-76)
         p_b_new = jnp.where(
             bs.pdf_is_proportional,
@@ -380,16 +473,57 @@ def li_path(
             ),
             bs.pdf,
         )
-        p_b = jnp.where(alive, p_b_new, p_b)
-        specular = jnp.where(alive, bs.is_specular(), specular)
-        any_non_specular = any_non_specular | (alive & ~bs.is_specular())
-        eta_scale = jnp.where(alive, eta_scale * bs.eta * bs.eta, eta_scale)
-        prev_p = jnp.where(alive[..., None], si.p, prev_p)
-        prev_ns = jnp.where(alive[..., None], si.ns, prev_ns)
+        p_b = jnp.where(surf, p_b_new, p_b)
+        specular = jnp.where(surf, bs.is_specular(), specular)
+        any_non_specular = any_non_specular | (surf & ~bs.is_specular())
+        eta_scale = jnp.where(surf, eta_scale * bs.eta * bs.eta, eta_scale)
+        prev_p = jnp.where(surf[..., None], si.p, prev_p)
+        prev_ns = jnp.where(surf[..., None], si.ns, prev_ns)
         new_o = offset_ray_origin(si.p, si.n, bs.wi)
-        ray_o = jnp.where(alive[..., None], new_o, ray_o)
-        ray_d = jnp.where(alive[..., None], bs.wi, ray_d)
-        alive = alive & bs.valid & ~ss_is_black(beta)
+        ray_o = jnp.where(surf[..., None], new_o, ray_o)
+        ray_d = jnp.where(surf[..., None], bs.wi, ray_d)
+        alive_surf = surf & bs.valid & ~ss_is_black(beta)
+
+        if has_med:
+            # --- medium-vertex shading: NEE with the phase function as
+            # the scatterer + HG continuation (pbrt VolPath) ---
+            from shimmer_tpu.materials.scattering import (
+                sample_henyey_greenstein,
+            )
+            from shimmer_tpu.ops.vecmath import length as _length
+
+            p_med = seg_o + t_m[..., None] * seg_d
+            wo_m = -seg_d
+            ld_m, (sh_o_m, sh_d_m, sh_tmax_m, usable_m), s_state = (
+                sample_ld_medium_prepare(
+                    scene, p_med, wo_m, g_m, swl, sampler, s_state
+                )
+            )
+            u2_m, s_state = sampler.get_2d(s_state)
+            wi_m, pdf_ph = sample_henyey_greenstein(wo_m, g_m, u2_m)
+            # merge shadow segments + contributions
+            scat3 = scattered[..., None]
+            ld = jnp.where(scat3, ld_m, ld)
+            sh_o = jnp.where(scat3, sh_o_m, sh_o)
+            sh_d = jnp.where(scat3, sh_d_m, sh_d)
+            sh_tmax = jnp.where(scattered, sh_tmax_m, sh_tmax)
+            sh_live = sh_live | (scattered & usable_m)
+            # shadow transmittance through the fog (both vertex kinds)
+            ld = ld * jnp.exp(-sig_t * _length(sh_d)[..., None])
+            # merge continuation state
+            p_b = jnp.where(scattered, pdf_ph, p_b)
+            specular = jnp.where(scattered, False, specular)
+            any_non_specular = any_non_specular | scattered
+            prev_p = jnp.where(scat3, p_med, prev_p)
+            prev_ns = jnp.where(scat3, 0.0, prev_ns)
+            ray_o = jnp.where(scat3, p_med, ray_o)
+            ray_d = jnp.where(scat3, wi_m, ray_d)
+            alive = alive_surf | (
+                scattered & (pdf_ph > 0.0) & ~ss_is_black(beta)
+            )
+        else:
+            alive = alive_surf
+        rays_traced = rays_traced + jnp.sum(sh_live.astype(jnp.float32))
 
         # --- Russian roulette on beta * eta_scale (integrator.rs:877-891) ---
         u_rr, s_state = sampler.get_1d(s_state)

@@ -97,6 +97,9 @@ class _GraphicsState:
     # Scoped `Attribute "target" ...` params (scene.rs:1714-1730): merged
     # as LOWER-priority defaults into later entities of that target kind.
     attributes: dict = dataclasses.field(default_factory=dict)
+    # Current MediumInterface (named media; None = vacuum).
+    medium_inside: str | None = None
+    medium_outside: str | None = None
 
 
 @dataclasses.dataclass
@@ -148,6 +151,8 @@ class SceneBuilder:
         self.current_object: str | None = None
         self.env_spec = None
         self.options: dict = {}
+        self.named_media: dict[str, dict] = {}
+        self.camera_medium_name: str | None = None
 
     # --- transforms ---
 
@@ -221,6 +226,9 @@ class SceneBuilder:
     def camera(self, name, params, loc):
         self.camera_spec = (name, self._pd(params), self.gs.ctm.copy())
         self.named_coords["camera"] = self.gs.ctm.copy()
+        # pbrt: the camera sits in the CURRENT outside medium
+        # (scene.rs camera_medium); this becomes the exterior medium.
+        self.camera_medium_name = self.gs.medium_outside
 
     def film(self, name, params, loc):
         self.film_spec = (name, self._pd(params))
@@ -406,13 +414,27 @@ class SceneBuilder:
     def area_light_source(self, name, params, loc):
         self.gs.area_light = (name, self._merged_pd("light", params))
 
-    # --- media (stub parity: reference Medium is empty, media.rs:3-5) ---
+    # --- media (exceeds the reference: its Medium is an empty stub,
+    # media.rs:3-5 — see shimmer_tpu/media.py for semantics + scope) ---
 
     def make_named_medium(self, name, params, loc):
-        pass
+        pd = self._merged_pd("medium", params)
+        kind = pd.get_one_string("type", "homogeneous")
+        if kind != "homogeneous":
+            import warnings
+
+            warnings.warn(f"{loc}: medium type {kind!r} unsupported; "
+                          "treating as homogeneous")
+        self.named_media[name] = {
+            "sigma_a": pd.get_one_rgb("sigma_a", (1.0, 1.0, 1.0)),
+            "sigma_s": pd.get_one_rgb("sigma_s", (1.0, 1.0, 1.0)),
+            "scale": pd.get_one_float("scale", 1.0),
+            "g": pd.get_one_float("g", 0.0),
+        }
 
     def medium_interface(self, inside, outside, loc):
-        pass
+        self.gs.medium_inside = inside or None
+        self.gs.medium_outside = outside or None
 
     # --- shapes ---
 
@@ -833,6 +855,14 @@ class SceneBuilder:
             textures=textures,
             spectra_table=spectra_table,
             env_spec=env_spec,
+            media=[self.named_media[k] for k in sorted(self.named_media)]
+            if self.named_media
+            else None,
+            camera_medium=(
+                sorted(self.named_media).index(self.camera_medium_name)
+                if self.camera_medium_name in self.named_media
+                else -1
+            ),
             render_from_world=r2w,
         )
 

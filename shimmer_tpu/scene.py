@@ -35,7 +35,11 @@ class Scene:
     textures: object | None       # TextureTable (textures/textures.py)
     patches: object | None = None  # BilinearPatchData (shapes/bilinear.py)
     instanced: object | None = None  # InstancedTriangles (shapes/instanced.py)
+    media: object | None = None    # MediumData (media.py)
     # --- static census ---
+    # Medium the camera sits in (index into media; -1 = vacuum).  Static:
+    # the megakernel's medium branch compiles only when a medium exists.
+    camera_medium: int = static_field(default=-1)
     material_kinds: tuple = static_field(default=())
     light_kinds: tuple = static_field(default=())
     n_lights: int = static_field(default=0)

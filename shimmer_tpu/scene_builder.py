@@ -38,6 +38,8 @@ def build_scene(
     spectra_table=None,
     env=None,
     env_spec: dict | None = None,
+    media: list[dict] | None = None,
+    camera_medium: int = -1,
     render_from_world=None,
 ) -> Scene:
     """Assemble a device Scene.
@@ -193,11 +195,21 @@ def build_scene(
     else:
         weights = np.ones(max(n_l, 1), np.float32)
 
+    if media:
+        from shimmer_tpu.media import make_media_table
+
+        media_table = make_media_table(media, cs)
+    else:
+        media_table = None
+        camera_medium = -1
+
     return Scene(
         spheres=sphere_data,
         triangles=triangles,
         patches=patch_data,
         instanced=instanced,
+        media=media_table,
+        camera_medium=int(camera_medium),
         materials=mat_table,
         lights=light_data,
         light_sample_weights=jnp.asarray(weights[:n_l] if n_l else np.ones(0, np.float32)),
