@@ -106,13 +106,20 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
     def _():
         # Resident prefix only: BFS row order puts the hot top-of-tree
         # first; the rest streams per-visit (see module docstring).
-        tab_copy = pltpu.make_async_copy(
-            tab_hbm_ref.at[pl.ds(0, n_res)], tab_ref, tab_sem
-        )
-        meta_copy = pltpu.make_async_copy(
-            meta_hbm_ref.at[pl.ds(0, min(n_rows, n_res_rows))], meta_ref,
-            meta_sem,
-        )
+        # Whole-ref copies when everything fits (prefix slices must be
+        # tiling-aligned, which _traverse_call guarantees for stream).
+        if stream:
+            tab_copy = pltpu.make_async_copy(
+                tab_hbm_ref.at[pl.ds(0, n_res)], tab_ref, tab_sem
+            )
+            meta_copy = pltpu.make_async_copy(
+                meta_hbm_ref.at[pl.ds(0, n_res_rows)], meta_ref, meta_sem
+            )
+        else:
+            tab_copy = pltpu.make_async_copy(tab_hbm_ref, tab_ref, tab_sem)
+            meta_copy = pltpu.make_async_copy(
+                meta_hbm_ref, meta_ref, meta_sem
+            )
         tab_copy.start()
         meta_copy.start()
         tab_copy.wait()
@@ -376,6 +383,12 @@ def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
         n_res = VMEM_TABLE_BYTES // (8 * P * 4)
     n_res = min(n_res, n_tiles)
     stream = n_res < n_tiles
+    if stream and not interpret:
+        # The resident meta prefix (n_res * 8 int32) is DMA'd as a slice,
+        # which must align to the (1024,) SMEM tiling → n_res % 128 == 0
+        # (interpret mode has no tiling; tests keep tiny budgets there).
+        n_res = min(max(128, (n_res // 128) * 128), n_tiles)
+        stream = n_res < n_tiles
     kern = functools.partial(
         _traverse_kernel, stack_size=stack_size, k_packets=K,
         n_rows=meta.shape[0], n_res=n_res, stream=stream,
@@ -422,12 +435,20 @@ def _part1by2(x):
     return x
 
 
-def ray_sort_keys(tris, ray_o, ray_d):
-    """Packet-coherence sort key: Morton code of the quantized origin
-    (6 bits/axis, scene-bounds normalized) then direction octant then a
-    coarse direction quantization.  Rays sorted by this key form
-    packets whose shared-stack union stays near the per-ray visit
-    count even for bounce/shadow batches."""
+def ray_sort_keys(tris, ray_o, ray_d, want_any=None):
+    """Packet-coherence sort keys.
+
+    Extension (closest-hit) rays: origin-Morton-major (6 bits/axis,
+    scene-bounds normalized), then direction octant, then a coarse
+    direction quantization — bounce rays from nearby points traverse
+    similar top-of-tree paths.
+
+    Shadow (any-hit) rays: direction-major — NEE rays aim at a light, so
+    their *directions* cluster while their origins spread across the
+    scene; octant+fine first, origin Morton last.  A shadow flag above
+    both keeps shadow and extension rays in separate packets (their
+    traversal orders differ: any-hit lanes exit early, and mixing them
+    inflates the shared-stack union)."""
     ext = jnp.maximum(tris.world_max - tris.world_min, 1e-6)
     q = (ray_o - tris.world_min[None, :]) / ext[None, :]
     q = jnp.clip((q * 64.0).astype(jnp.int32), 0, 63)
@@ -444,7 +465,12 @@ def ray_sort_keys(tris, ray_o, ray_d):
         ((ray_d + 1.0) * 2.0).astype(jnp.int32), 0, 3
     )                                                     # 2 bits/axis
     fine = dq[:, 0] | (dq[:, 1] << 2) | (dq[:, 2] << 4)
-    return (morton << 9) | (octant << 6) | fine
+    key_ext = (morton << 9) | (octant << 6) | fine        # 27 bits
+    if want_any is None:
+        return key_ext
+    key_sh = (octant << 27) | (fine << 21) | (morton << 3)  # 30 bits
+    wa = jnp.asarray(want_any)
+    return jnp.where(wa, (1 << 30) | key_sh, key_ext)
 
 
 def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
@@ -479,7 +505,7 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
         # for wavefront dispatches with scattered dead lanes.
         keys = jnp.where(
             t_max > 0.0,
-            ray_sort_keys(tris, ray_o, ray_d),
+            ray_sort_keys(tris, ray_o, ray_d, want_any=want),
             jnp.int32(0x7FFFFFFF),
         )
         order = jnp.argsort(keys)
