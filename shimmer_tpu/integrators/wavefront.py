@@ -190,6 +190,8 @@ def render_wave_wavefront(
             + jnp.minimum(jnp.sum(free.astype(jnp.int32)), navail),
         )
 
+    has_med = scene.media is not None and scene.camera_medium >= 0
+
     def body(st: _WaveState) -> _WaveState:
         swl = SampledWavelengths(lam=st.lam, pdf=st.lam_pdf)
         s_state = SamplerState(
@@ -216,22 +218,68 @@ def render_wave_wavefront(
             (st.pend_sh & ~occluded)[..., None], st.ld, 0.0
         )
         alive = st.alive
-        miss = alive & ~si.valid
+        beta_st = st.beta
+        scattered = None
+        if has_med:
+            # Homogeneous-medium distance sampling over the traced
+            # segment — identical estimator and draw order to
+            # integrators/path.py::li_path's VolPath branch.
+            from shimmer_tpu.media import medium_sigma
+
+            u_m, s_state = sampler.get_1d(s_state)
+            mid = jnp.full(n, scene.camera_medium, jnp.int32)
+            sig_a, sig_s, g_m = medium_sigma(scene.media, mid, swl.lam)
+            sig_t = sig_a + sig_s
+            sig0 = sig_t[..., 0]
+            t_seg = jnp.where(si.valid, si.t, INF)
+            t_m = -jnp.log1p(
+                -jnp.minimum(u_m, 1.0 - 1e-7)
+            ) / jnp.maximum(sig0, 1e-20)
+            scattered = alive & (sig0 > 0.0) & (t_m < t_seg)
+            survive = alive & (sig0 > 0.0) & ~scattered
+            tr_m = jnp.exp(-sig_t * t_m[..., None])
+            pdf_m = jnp.maximum(sig0 * jnp.exp(-sig0 * t_m), 1e-30)
+            t_far = jnp.minimum(t_seg, 1e20)
+            tr_s = jnp.exp(-sig_t * t_far[..., None])
+            pdf_s = jnp.maximum(jnp.exp(-sig0 * t_far), 1e-30)
+            beta_st = jnp.where(
+                scattered[..., None],
+                beta_st * tr_m * sig_s / pdf_m[..., None],
+                jnp.where(
+                    survive[..., None],
+                    beta_st * tr_s / pdf_s[..., None],
+                    beta_st,
+                ),
+            )
+        st = dataclasses.replace(st, beta=beta_st)
+
+        reach = alive if scattered is None else (alive & ~scattered)
+        miss = reach & ~si.valid
         l = _infinite_le_with_mis(
             scene, st.ray_d, swl, st.beta, st.p_b, st.specular,
             st.prev_p, st.prev_ns, l, miss,
         )
         l = _area_le_with_mis(
             scene, si, swl, st.beta, st.p_b, st.specular,
-            st.prev_p, st.prev_ns, l, alive,
+            st.prev_p, st.prev_ns, l, reach,
         )
-        alive = alive & si.valid
+        alive = alive & (
+            si.valid if scattered is None else (si.valid | scattered)
+        )
         will_shade = alive & (st.depth < max_depth)
+        surf_shade = (
+            will_shade
+            if scattered is None
+            else (will_shade & si.valid & ~scattered)
+        )
+        med_shade = (
+            None if scattered is None else (will_shade & scattered)
+        )
 
         si = _prepare_hit(scene, si, st.ray_d, pixel_spread)
         si, s_state = _resolve_mix(scene, si, sampler, s_state)
         beta0, lam_term = _apply_dispersion(
-            scene, si, will_shade, st.beta, st.lam_term
+            scene, si, surf_shade, st.beta, st.lam_term
         )
         st = dataclasses.replace(st, beta=beta0)
         frame = si.shading_frame()
@@ -246,7 +294,7 @@ def render_wave_wavefront(
         ld_new, (sh_o, sh_d, sh_tmax, sh_usable), s_state = sample_ld_prepare(
             scene, si, frame, swl, sampler, s_state, bsdf_ctx
         )
-        pend_sh = will_shade & sh_usable
+        pend_sh = surf_shade & sh_usable
 
         u2, s_state = sampler.get_2d(s_state)
         uc, s_state = sampler.get_1d(s_state)
@@ -260,7 +308,7 @@ def render_wave_wavefront(
             bs.f * (cos_f / jnp.maximum(bs.pdf, 1e-20))[..., None],
             0.0,
         )
-        beta = jnp.where(will_shade[..., None], st.beta * step, st.beta)
+        beta = jnp.where(surf_shade[..., None], st.beta * step, st.beta)
         p_b_new = jnp.where(
             bs.pdf_is_proportional,
             bsdf_pdf(
@@ -269,18 +317,55 @@ def render_wave_wavefront(
             ),
             bs.pdf,
         )
-        p_b = jnp.where(will_shade, p_b_new, st.p_b)
-        specular = jnp.where(will_shade, bs.is_specular(), st.specular)
-        any_ns = st.any_ns | (will_shade & ~bs.is_specular())
+        p_b = jnp.where(surf_shade, p_b_new, st.p_b)
+        specular = jnp.where(surf_shade, bs.is_specular(), st.specular)
+        any_ns = st.any_ns | (surf_shade & ~bs.is_specular())
         eta_scale = jnp.where(
-            will_shade, st.eta_scale * bs.eta * bs.eta, st.eta_scale
+            surf_shade, st.eta_scale * bs.eta * bs.eta, st.eta_scale
         )
-        prev_p = _where_merge(will_shade, si.p, st.prev_p)
-        prev_ns = _where_merge(will_shade, si.ns, st.prev_ns)
+        prev_p = _where_merge(surf_shade, si.p, st.prev_p)
+        prev_ns = _where_merge(surf_shade, si.ns, st.prev_ns)
         new_o = offset_ray_origin(si.p, si.n, bs.wi)
-        ray_o = _where_merge(will_shade, new_o, st.ray_o)
-        ray_d = _where_merge(will_shade, bs.wi, st.ray_d)
-        alive = will_shade & bs.valid & ~ss_is_black(beta)
+        ray_o = _where_merge(surf_shade, new_o, st.ray_o)
+        ray_d = _where_merge(surf_shade, bs.wi, st.ray_d)
+        alive = surf_shade & bs.valid & ~ss_is_black(beta)
+
+        if has_med:
+            # --- medium-vertex shading (mirrors li_path's branch) ---
+            from shimmer_tpu.integrators.path import (
+                sample_ld_medium_prepare,
+            )
+            from shimmer_tpu.materials.scattering import (
+                sample_henyey_greenstein,
+            )
+            from shimmer_tpu.ops.vecmath import length as _length
+
+            p_med = st.ray_o + t_m[..., None] * st.ray_d
+            wo_m = -st.ray_d
+            ld_med, (sh_o_m, sh_d_m, sh_tmax_m, usable_m), s_state = (
+                sample_ld_medium_prepare(
+                    scene, p_med, wo_m, g_m, swl, sampler, s_state
+                )
+            )
+            u2_m, s_state = sampler.get_2d(s_state)
+            wi_m, pdf_ph = sample_henyey_greenstein(wo_m, g_m, u2_m)
+            scat3 = med_shade[..., None]
+            ld_new = jnp.where(scat3, ld_med, ld_new)
+            sh_o = jnp.where(scat3, sh_o_m, sh_o)
+            sh_d = jnp.where(scat3, sh_d_m, sh_d)
+            sh_tmax = jnp.where(med_shade, sh_tmax_m, sh_tmax)
+            pend_sh = pend_sh | (med_shade & usable_m)
+            ld_new = ld_new * jnp.exp(-sig_t * _length(sh_d)[..., None])
+            p_b = jnp.where(med_shade, pdf_ph, p_b)
+            specular = jnp.where(med_shade, False, specular)
+            any_ns = any_ns | med_shade
+            prev_p = _where_merge(med_shade, p_med, prev_p)
+            prev_ns = jnp.where(scat3, 0.0, prev_ns)
+            ray_o = _where_merge(med_shade, p_med, ray_o)
+            ray_d = _where_merge(med_shade, wi_m, ray_d)
+            alive = alive | (
+                med_shade & (pdf_ph > 0.0) & ~ss_is_black(beta)
+            )
 
         # Russian roulette on beta * eta_scale (integrator.rs:877-891),
         # applied past the first bounce (per-lane depth here).

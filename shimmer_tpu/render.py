@@ -367,10 +367,6 @@ def render(
         if wavefront is None
         else wavefront
     )
-    # The wavefront loop has no medium sampling yet; volumetric scenes
-    # take the megakernel (which does — integrators/path.py VolPath).
-    if getattr(scene, "media", None) is not None:
-        use_wavefront = False
     if use_wavefront:
         wf = make_wavefront_renderer(
             scene,

@@ -168,3 +168,74 @@ Shape "sphere" "float radius" [1]
         a = np.asarray(img)
         assert np.all(np.isfinite(a))
         assert a.mean() > 1e-4
+
+
+class TestWavefrontMedium:
+    def test_wavefront_matches_megakernel_in_fog(self):
+        """The production wavefront's medium branch must reproduce the
+        megakernel VolPath image (same estimator, same draw order)."""
+        from shimmer_tpu.film.filters import BoxFilter
+        from shimmer_tpu.film.film import PixelSensor, RgbFilm
+        from shimmer_tpu.cameras import CameraTransform, PerspectiveCamera
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.render import (
+            make_wave_renderer,
+            make_wavefront_renderer,
+            pixel_blocks,
+        )
+
+        cs = get_named_color_space("srgb")
+        res = 24
+        ct = CameraTransform(
+            Transform.look_at(
+                jnp.array([0.0, 0.0, -4.0]), jnp.zeros(3),
+                jnp.array([0.0, 1.0, 0.0]),
+            )
+        )
+        cam = PerspectiveCamera(ct, (res, res), fov=45.0)
+        film = RgbFilm((res, res), BoxFilter(), PixelSensor(cs), cs)
+        scene = build_scene(
+            spheres=[
+                {"radius": 1.0, "material_id": 0},
+                {
+                    "radius": 0.3,
+                    "material_id": 1,
+                    "area_light_id": 0,
+                    "object_to_world": Transform.translate(
+                        jnp.array([0.0, 2.0, 0.0])
+                    ),
+                },
+            ],
+            materials=[
+                {"kind": mtl.DIFFUSE, "reflectance": [0.6, 0.5, 0.4]},
+                {"kind": mtl.DIFFUSE, "reflectance": [0.0, 0.0, 0.0]},
+            ],
+            lights=[
+                {
+                    "kind": lt.AREA,
+                    "spectrum": ConstantSpectrum(30.0),
+                    "shape_kind": 0,
+                    "shape_idx": 1,
+                }
+            ],
+            media=[{"sigma_a": 0.05, "sigma_s": 0.2, "g": 0.3}],
+            camera_medium=0,
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+        spp = 4
+        sampler = IndependentSampler(spp)
+        blocks, valids = pixel_blocks(film, res * res)
+        idx = jnp.arange(spp, dtype=jnp.uint32)
+
+        mk = make_wave_renderer(scene, cam, film, sampler, "path", max_depth=4)
+        img_mk = np.asarray(
+            film.get_image(mk(film.init_state(), idx, blocks[0], valids[0]))
+        )
+        wf = make_wavefront_renderer(scene, cam, film, sampler, max_depth=4)
+        img_wf = np.asarray(
+            film.get_image(wf(film.init_state(), idx, blocks[0], valids[0]))
+        )
+        assert np.isfinite(img_wf).all()
+        assert img_wf.mean() > 1e-3
+        rel = np.abs(img_wf - img_mk).max() / max(img_mk.max(), 1e-6)
+        assert rel < 2e-3, f"wavefront fog diverges: rel {rel}"
