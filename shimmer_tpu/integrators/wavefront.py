@@ -95,6 +95,7 @@ class _WaveState:
     film_rgb: jnp.ndarray    # (H, W, 3)
     film_w: jnp.ndarray      # (H, W)
     rays: jnp.ndarray        # () f32
+    iters: jnp.ndarray       # () f32 — outer while iterations (stats)
 
 
 def _where_merge(cond, new, old):
@@ -413,6 +414,7 @@ def render_wave_wavefront(
             s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
             s_dim=s_state.dim,
             film_rgb=fs.rgb_sum, film_w=fs.weight_sum, rays=rays,
+            iters=st.iters + 1.0,
         )
         # --- 4. regenerate free lanes ---
         return regen(st)
@@ -455,6 +457,7 @@ def render_wave_wavefront(
         film_rgb=film_state.rgb_sum,
         film_w=film_state.weight_sum,
         rays=jnp.zeros((), jnp.float32),
+        iters=jnp.zeros((), jnp.float32),
     )
     st0 = regen(st0)
     st = jax.lax.while_loop(cond, body, st0)
@@ -464,5 +467,5 @@ def render_wave_wavefront(
         rgb_splat=film_state.rgb_splat,
     )
     if return_stats:
-        return fs, {"rays": st.rays}
+        return fs, {"rays": st.rays, "iters": st.iters}
     return fs
