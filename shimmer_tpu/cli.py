@@ -31,6 +31,10 @@ def main(argv=None):
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", "-q", action="store_true")
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print a statistics report after rendering (pbrt --stats)",
+    )
     args = ap.parse_args(argv)
 
     from pathlib import Path
@@ -76,6 +80,7 @@ def main(argv=None):
             disable_pixel_jitter=job.disable_pixel_jitter,
             disable_wavelength_jitter=job.disable_wavelength_jitter,
             wavefront=False if args.megakernel else None,
+            collect_stats=args.stats,
         )
     import numpy as np
 
@@ -87,6 +92,10 @@ def main(argv=None):
     Image(img).write(out)
     if not args.quiet:
         print(f"wrote {out}", file=sys.stderr)
+    if args.stats:
+        from shimmer_tpu.utils import stats
+
+        print(stats.report(), file=sys.stderr)
     return 0
 
 

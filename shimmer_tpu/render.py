@@ -349,6 +349,7 @@ def render(
     disable_pixel_jitter: bool = False,
     disable_wavelength_jitter: bool = False,
     wavefront: bool | None = None,
+    collect_stats: bool = False,
 ):
     """Full render: wave × pixel-block loop on host, ONE jitted program.
 
@@ -368,7 +369,7 @@ def render(
         else wavefront
     )
     if use_wavefront:
-        wf = make_wavefront_renderer(
+        wf_raw = make_wavefront_renderer(
             scene,
             camera,
             film,
@@ -377,8 +378,21 @@ def render(
             regularize=regularize,
             disable_pixel_jitter=disable_pixel_jitter,
             disable_wavelength_jitter=disable_wavelength_jitter,
+            with_stats=collect_stats,
         )
-        wave_fn = wf
+        if collect_stats:
+            from shimmer_tpu.utils import stats
+
+            def wave_fn(state, idx, px, valid):
+                fs, st = wf_raw(state, idx, px, valid)
+                stats.counter("Integrator/Rays traced").add(st["rays"])
+                stats.counter("Integrator/Wavefront iterations").add(
+                    st["iters"]
+                )
+                return fs
+
+        else:
+            wave_fn = wf_raw
     else:
         wave_fn = make_wave_renderer(
             scene,
@@ -396,11 +410,21 @@ def render(
     blocks, valids = pixel_blocks(film, pixel_block)
     n_blocks = blocks.shape[0]
     start = 0
+    if collect_stats:
+        from shimmer_tpu.utils import stats
+
+        stats.counter("Render/Pixel samples").add(film.resolution[0] * film.resolution[1] * spp)
+        wave_timer = stats.timer("Render/Wave time")
     while start < spp:
         n = min(wave_spp, spp - start)
         idx = jnp.arange(start, start + n, dtype=jnp.uint32)
         for b in range(n_blocks):
-            state = wave_fn(state, idx, blocks[b], valids[b])
+            if collect_stats:
+                with wave_timer:
+                    state = wave_fn(state, idx, blocks[b], valids[b])
+                    jax.block_until_ready(state)
+            else:
+                state = wave_fn(state, idx, blocks[b], valids[b])
         start += n
         if progress is not None:
             progress(start, spp)

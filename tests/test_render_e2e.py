@@ -203,3 +203,52 @@ class TestPointLight:
             means.append(np.asarray(img)[7:9, 7:9].mean())
         ratio = means[0] / means[1]
         assert abs(ratio - 4.0) < 0.25, ratio
+
+
+def test_stats_registry_collects():
+    """--stats plumbing: counters/timers populate during render()
+    (utils/stats.py, the pbrt-stats analog)."""
+    import jax.numpy as jnp
+
+    from shimmer_tpu.cameras import CameraTransform, PerspectiveCamera
+    from shimmer_tpu.color.colorspace import get_named_color_space
+    from shimmer_tpu.film.filters import BoxFilter
+    from shimmer_tpu.film.film import PixelSensor, RgbFilm
+    from shimmer_tpu.lights import lights as lt
+    from shimmer_tpu.materials import material as mtl
+    from shimmer_tpu.ops.transform import Transform
+    from shimmer_tpu.render import render
+    from shimmer_tpu.samplers import IndependentSampler
+    from shimmer_tpu.scene_builder import build_scene
+    from shimmer_tpu.spectra.spectrum import ConstantSpectrum
+    from shimmer_tpu.utils import stats
+
+    stats.clear()
+    cs = get_named_color_space("srgb")
+    res = 12
+    ct = CameraTransform(
+        Transform.look_at(
+            jnp.array([0.0, 0.0, -4.0]), jnp.zeros(3),
+            jnp.array([0.0, 1.0, 0.0]),
+        )
+    )
+    cam = PerspectiveCamera(ct, (res, res), fov=45.0)
+    film = RgbFilm((res, res), BoxFilter(), PixelSensor(cs), cs)
+    scene = build_scene(
+        spheres=[{"radius": 1.0, "material_id": 0, "area_light_id": 0}],
+        materials=[{"kind": mtl.DIFFUSE, "reflectance": [0.5, 0.5, 0.5]}],
+        lights=[{"kind": lt.AREA, "spectrum": ConstantSpectrum(5.0),
+                 "shape_kind": 0, "shape_idx": 0}],
+        render_from_world=cam.camera_transform.render_from_world(),
+    )
+    render(
+        scene, cam, film, IndependentSampler(2), "path", spp=2,
+        max_depth=2, collect_stats=True,
+    )
+    d = stats.as_dict()
+    assert d.get("Integrator/Rays traced", 0) > 0
+    assert d.get("Integrator/Wavefront iterations", 0) > 0
+    assert d.get("Render/Wave time", 0) > 0
+    rep = stats.report()
+    assert "Rays traced" in rep and "Statistics:" in rep
+    stats.clear()
