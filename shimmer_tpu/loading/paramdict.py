@@ -9,6 +9,8 @@ paramdict.rs:44-260).
 
 from __future__ import annotations
 
+from shimmer_tpu.loading.errors import ParameterError
+
 import enum
 
 import numpy as np
@@ -48,7 +50,7 @@ def parse_param_declaration(decl: str):
     """'float roughness' → ('float', 'roughness') (param.rs:14-67)."""
     parts = decl.strip().split()
     if len(parts) != 2 or parts[0] not in PARAM_TYPES:
-        raise SyntaxError(f"bad parameter declaration: {decl!r}")
+        raise ParameterError(f"bad parameter declaration: {decl!r}")
     return parts[0], parts[1]
 
 
@@ -168,11 +170,13 @@ class ParameterDictionary:
                     p.values[0]
                 )
                 if s is None:
-                    raise ValueError(f"unknown spectrum: {p.values[0]}")
+                    raise ParameterError(f"unknown spectrum: {p.values[0]}", loc=p.loc)
                 return s
             vals = np.asarray(p.values, np.float64)
             return PiecewiseLinearSpectrum(vals[0::2], vals[1::2])
-        raise ValueError(f"parameter {name} is not a spectrum (type {p.type})")
+        raise ParameterError(
+            f"parameter {name} is not a spectrum (type {p.type})", loc=p.loc
+        )
 
     def report_unused(self):
         return [p.name for p in self.params.values() if not p.looked_up]

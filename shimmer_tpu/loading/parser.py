@@ -15,6 +15,8 @@ tables at create() time.
 
 from __future__ import annotations
 
+from shimmer_tpu.loading.errors import DirectiveError
+
 import dataclasses
 from pathlib import Path
 
@@ -94,8 +96,14 @@ class Parser:
                 break
             decl = _unquote(tok)
             parts = decl.split()
-            if len(parts) != 2 or parts[0] not in PARAM_TYPES:
+            if len(parts) != 2:
                 break  # not a parameter: e.g. the quoted name of a directive
+            if parts[0] not in PARAM_TYPES:
+                from shimmer_tpu.loading.errors import ParameterError
+
+                raise ParameterError(
+                    f"unknown parameter type in declaration {decl!r}", loc=loc
+                )
             self.s.next()
             type_, name = parts
             values = []
@@ -241,7 +249,7 @@ class Parser:
             elif tok == "ReverseOrientation":
                 t.reverse_orientation(loc)
             else:
-                raise SyntaxError(f"{loc}: unknown directive {tok!r}")
+                raise DirectiveError(f"unknown directive {tok!r}", loc=loc)
         t.end_of_files()
 
 

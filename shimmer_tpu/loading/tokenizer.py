@@ -7,6 +7,8 @@ tokenization of pbrt files: comments, quoted strings, brackets).  Returns
 
 from __future__ import annotations
 
+from shimmer_tpu.loading.errors import TokenError
+
 
 class FileLoc:
     """Source location for diagnostics (parser_target.rs FileLoc)."""
@@ -52,7 +54,7 @@ def tokenize(text: str, filename: str = "<string>"):
                     line += 1
                 j += 1
             if j >= n:
-                raise SyntaxError(f"{filename}:{start_line}: unterminated string")
+                raise TokenError("unterminated string", loc=f"{filename}:{start_line}")
             yield text[i : j + 1], FileLoc(filename, start_line)
             i = j + 1
         else:

@@ -447,3 +447,28 @@ Shape "sphere" "float radius" [2.0]
         # render axes == camera axes, so render_from_camera == identity
         rfc = np.asarray(job.camera.camera_transform.render_from_camera.m)
         np.testing.assert_allclose(rfc, np.eye(4), atol=1e-6)
+
+
+class TestTypedErrors:
+    def test_unknown_directive(self):
+        from shimmer_tpu.loading.errors import DirectiveError, SceneLoadError
+
+        b = SceneBuilder()
+        with pytest.raises(DirectiveError) as ei:
+            parse_str("WorldBegin\nFrobnicate\n", b)
+        assert issubclass(DirectiveError, SceneLoadError)
+        assert "Frobnicate" in str(ei.value)
+
+    def test_unterminated_string(self):
+        from shimmer_tpu.loading.errors import TokenError
+
+        b = SceneBuilder()
+        with pytest.raises(TokenError):
+            parse_str('Camera "persp\n', b)
+
+    def test_bad_param_declaration(self):
+        from shimmer_tpu.loading.errors import ParameterError
+
+        b = SceneBuilder()
+        with pytest.raises(ParameterError):
+            parse_str('WorldBegin\nShape "sphere" "floot radius" [1]\n', b)
