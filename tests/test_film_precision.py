@@ -90,3 +90,79 @@ def test_hdr_stream_accumulation():
     got = np.asarray(state.rgb_sum, np.float64)[0, 0]
     rel = np.abs(got - total) / np.maximum(np.abs(total), 1e-12)
     assert rel.max() < 1e-3, f"HDR f32 accumulation error {rel.max():.2e}"
+
+
+class TestSplatFootprint:
+    def test_splat_energy_conserved_wide_filter(self):
+        """add_splats with a Gaussian r=1.5 footprint ((2r+1)^2 window,
+        VERDICT r3 weak #7): total splatted energy equals sum of filter
+        weights x radiance, and interior splats lose nothing at edges."""
+        import jax.numpy as jnp
+
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.film.filters import GaussianFilter
+        from shimmer_tpu.film.film import PixelSensor, RgbFilm
+        from shimmer_tpu.spectra.sampled import SampledWavelengths
+
+        cs = get_named_color_space("srgb")
+        filt = GaussianFilter(1.5, 1.5, 0.6)
+        film = RgbFilm((32, 32), filt, PixelSensor(cs), cs)
+        n = 256
+        rng = np.random.default_rng(0)
+        # interior positions: full footprint stays on the film
+        p = jnp.asarray(
+            rng.uniform(4.0, 28.0, (n, 2)).astype(np.float32)
+        )
+        swl = SampledWavelengths.sample_uniform(jnp.full(n, 0.5))
+        lrad = jnp.ones((n, 4), jnp.float32)
+        state = film.init_state()
+        state = film.add_splats(state, p, lrad, swl)
+        total = float(jnp.sum(state.rgb_splat))
+
+        # Oracle: for each sample, sum the filter over its pixel window.
+        p_np = np.asarray(p)
+        want = 0.0
+        rgb1 = np.asarray(film._clamped_rgb(lrad, swl))  # (n, 3)
+        for i in range(n):
+            x0 = int(np.ceil(p_np[i, 0] - 0.5 - 1.5))
+            y0 = int(np.ceil(p_np[i, 1] - 0.5 - 1.5))
+            fw = 0.0
+            for dy in range(4):
+                for dx in range(4):
+                    off = np.array(
+                        [x0 + dx + 0.5 - p_np[i, 0], y0 + dy + 0.5 - p_np[i, 1]],
+                        np.float32,
+                    )
+                    fw += float(filt.evaluate(jnp.asarray(off[None]))[0])
+            want += fw * rgb1[i].sum()
+        np.testing.assert_allclose(total, want, rtol=1e-4)
+
+    def test_splat_edge_clipping(self):
+        """Splats at the film border only deposit in-bounds texels."""
+        import jax.numpy as jnp
+
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.film.filters import GaussianFilter
+        from shimmer_tpu.film.film import PixelSensor, RgbFilm
+        from shimmer_tpu.spectra.sampled import SampledWavelengths
+
+        cs = get_named_color_space("srgb")
+        film = RgbFilm(
+            (16, 16), GaussianFilter(1.5, 1.5, 0.6),
+            PixelSensor(cs), cs,
+        )
+        p = jnp.asarray(np.array([[0.2, 0.2], [15.8, 15.8]], np.float32))
+        swl = SampledWavelengths.sample_uniform(jnp.full(2, 0.5))
+        state = film.add_splats(
+            state=film.init_state(), p_film=p, L=jnp.ones((2, 4)), swl=swl
+        )
+        a = np.asarray(state.rgb_splat)
+        assert np.isfinite(a).all() and (a >= 0).all()
+        # corner splat deposits strictly less than an interior one would
+        interior = film.add_splats(
+            film.init_state(),
+            jnp.asarray(np.array([[8.0, 8.0]], np.float32)),
+            jnp.ones((1, 4)),
+            SampledWavelengths.sample_uniform(jnp.full(1, 0.5)),
+        )
+        assert a[:4, :4].sum() < np.asarray(interior.rgb_splat).sum()
