@@ -90,10 +90,16 @@ class _WaveState:
     s_dim: jnp.ndarray       # (N,) uint32 sampler dimension
     pixel_xy: jnp.ndarray    # (N, 2) int32
     weight: jnp.ndarray      # (N,) filter weight
-    # pool + film + stats
+    item: jnp.ndarray        # (N,) int32 — pool item a lane is working on
+    # pool + per-item output + stats.  Finished paths scatter-SET their
+    # converted rgb into out_rgb[item] — each pool item retires exactly
+    # once, so the scatter has unique indices and no read-modify-write
+    # (TPU scatter-ADD serializes on potential duplicates; this was the
+    # dominant per-iteration cost).  The film sees ONE dense reduction +
+    # one n-lane scatter-add per wave (see render_wave_wavefront tail).
     pool_next: jnp.ndarray   # () int32
-    film_rgb: jnp.ndarray    # (H, W, 3)
-    film_w: jnp.ndarray      # (H, W)
+    out_rgb: jnp.ndarray     # (pool, 3) f32
+    out_w: jnp.ndarray       # (pool,) f32
     rays: jnp.ndarray        # () f32
     iters: jnp.ndarray       # () f32 — outer while iterations (stats)
 
@@ -187,6 +193,7 @@ def render_wave_wavefront(
             s_dim=m(s_state.dim, st.s_dim),
             pixel_xy=m(px.astype(jnp.int32), st.pixel_xy),
             weight=m(jnp.where(valid, w, 0.0), st.weight),
+            item=m(item.astype(jnp.int32), st.item),
             pool_next=st.pool_next
             + jnp.minimum(jnp.sum(free.astype(jnp.int32)), navail),
         )
@@ -387,17 +394,13 @@ def render_wave_wavefront(
         # --- 3. film scatter for completed paths ---
         done = st.busy & ~alive & ~pend_sh
         fw = jnp.where(done, st.weight, 0.0)
-        fs = film.add_samples(
-            type(film_state)(
-                rgb_sum=st.film_rgb,
-                weight_sum=st.film_w,
-                rgb_splat=film_state.rgb_splat,
-            ),
-            st.pixel_xy,
-            l,
-            swl,
-            fw,
-        )
+        # Unique-index scatter-SET into the per-item output: non-done
+        # lanes are routed out of bounds and dropped, so there is no
+        # read-modify-write and no duplicate-index serialization.
+        rgb = film._clamped_rgb(l, swl) * fw[..., None]
+        slot = jnp.where(done, st.item, pool_total)
+        out_rgb = st.out_rgb.at[slot].set(rgb, mode="drop", unique_indices=True)
+        out_w = st.out_w.at[slot].set(fw, mode="drop", unique_indices=True)
         busy = st.busy & ~done
 
         st = dataclasses.replace(
@@ -413,7 +416,7 @@ def render_wave_wavefront(
             prev_p=prev_p, prev_ns=prev_ns,
             s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
             s_dim=s_state.dim,
-            film_rgb=fs.rgb_sum, film_w=fs.weight_sum, rays=rays,
+            out_rgb=out_rgb, out_w=out_w, rays=rays,
             iters=st.iters + 1.0,
         )
         # --- 4. regenerate free lanes ---
@@ -453,17 +456,33 @@ def render_wave_wavefront(
         s_dim=jnp.zeros(n, jnp.uint32),
         pixel_xy=jnp.zeros((n, 2), jnp.int32),
         weight=jnp.zeros(n, jnp.float32),
+        item=jnp.zeros(n, jnp.int32),
         pool_next=jnp.zeros((), jnp.int32),
-        film_rgb=film_state.rgb_sum,
-        film_w=film_state.weight_sum,
+        out_rgb=jnp.zeros((pool_total, 3), jnp.float32),
+        out_w=jnp.zeros(pool_total, jnp.float32),
         rays=jnp.zeros((), jnp.float32),
         iters=jnp.zeros((), jnp.float32),
     )
     st0 = regen(st0)
     st = jax.lax.while_loop(cond, body, st0)
+    # One dense per-pixel reduction over the sample axis, then a single
+    # n-lane scatter-add into the film shard (item = s_idx * n + p_idx).
+    per_px_rgb = st.out_rgb.reshape(n_samples, n, 3).sum(0)
+    per_px_w = st.out_w.reshape(n_samples, n).sum(0)
+    # Sharded renders hand a film view whose scatter space is shard-local
+    # (parallel/render.py LocalBandFilm.local_xy).
+    scatter_xy = (
+        film.local_xy(pixel_xy) if hasattr(film, "local_xy") else pixel_xy
+    )
+    px = scatter_xy[..., 0]
+    py = scatter_xy[..., 1]
     fs = type(film_state)(
-        rgb_sum=st.film_rgb,
-        weight_sum=st.film_w,
+        rgb_sum=film_state.rgb_sum.at[py, px].add(
+            per_px_rgb.astype(film_state.rgb_sum.dtype)
+        ),
+        weight_sum=film_state.weight_sum.at[py, px].add(
+            per_px_w.astype(film_state.weight_sum.dtype)
+        ),
         rgb_splat=film_state.rgb_splat,
     )
     if return_stats:

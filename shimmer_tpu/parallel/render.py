@@ -155,11 +155,15 @@ class LocalBandFilm:
     def __getattr__(self, name):
         return getattr(self._film, name)
 
-    def add_samples(self, state, pixel_xy, l, swl, weight):
-        local = jnp.stack(
+    def local_xy(self, pixel_xy):
+        return jnp.stack(
             [pixel_xy[..., 0], pixel_xy[..., 1] - self._band], axis=-1
         )
-        return self._film.add_samples(state, local, l, swl, weight)
+
+    def add_samples(self, state, pixel_xy, l, swl, weight):
+        return self._film.add_samples(
+            state, self.local_xy(pixel_xy), l, swl, weight
+        )
 
 
 def init_sharded_film_state(film: RgbFilm, mesh: Mesh) -> FilmState:
