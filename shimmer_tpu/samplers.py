@@ -94,19 +94,23 @@ def _sobol_matrices_dim2() -> np.ndarray:
     return cols
 
 
-_SOBOL_COLS = jnp.asarray(_sobol_matrices_dim2())
+# Column masks as PYTHON ints: indexing a closed-over device array in a
+# python loop emits per-element dynamic-slices that defeat fusion
+# (measured ~6 ms per 65k-lane chain vs microseconds with immediates).
+_SOBOL_COLS = [[int(c) for c in row] for row in _sobol_matrices_dim2()]
 
 
-def sobol_sample_u32(index, dim_cols):
+def sobol_sample_u32(index, dim_cols, max_bits: int = 32):
     """Multiply index (uint32 lanes) by a Sobol' generator matrix.
 
-    index: (...,) uint32; dim_cols: (32,) uint32 column masks → (...,)
-    uint32 sample (radical-inverse bits).
+    index: (...,) uint32; dim_cols: list of 32 python-int column masks →
+    (...,) uint32 sample (radical-inverse bits).  max_bits bounds the
+    loop when the caller knows the index width.
     """
     v = jnp.zeros_like(index)
-    for j in range(32):
+    for j in range(min(32, max_bits)):
         bit = (index >> _U32(j)) & _U32(1)
-        v = v ^ (jnp.where(bit != 0, dim_cols[j], _U32(0)))
+        v = v ^ jnp.where(bit != 0, _U32(dim_cols[j]), _U32(0))
     return v
 
 
@@ -148,19 +152,34 @@ def _encode_morton2(x, y):
 
 # Base-4 digit permutations used by the randomized Morton ordering
 # (pbrt-v4 ZSobolSampler::GetSampleIndex).
-_PERMUTATIONS = jnp.asarray(
-    np.array(
-        [
-            [0, 1, 2, 3], [0, 1, 3, 2], [0, 2, 1, 3], [0, 2, 3, 1],
-            [0, 3, 2, 1], [0, 3, 1, 2], [1, 0, 2, 3], [1, 0, 3, 2],
-            [1, 2, 0, 3], [1, 2, 3, 0], [1, 3, 2, 0], [1, 3, 0, 2],
-            [2, 1, 0, 3], [2, 1, 3, 0], [2, 0, 1, 3], [2, 0, 3, 1],
-            [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
-            [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2],
-        ],
-        np.uint32,
-    )
+_PERMUTATIONS_NP = np.array(
+    [
+        [0, 1, 2, 3], [0, 1, 3, 2], [0, 2, 1, 3], [0, 2, 3, 1],
+        [0, 3, 2, 1], [0, 3, 1, 2], [1, 0, 2, 3], [1, 0, 3, 2],
+        [1, 2, 0, 3], [1, 2, 3, 0], [1, 3, 2, 0], [1, 3, 0, 2],
+        [2, 1, 0, 3], [2, 1, 3, 0], [2, 0, 1, 3], [2, 0, 3, 1],
+        [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
+        [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2],
+    ],
+    np.uint32,
 )
+# Each permutation packed 2 bits/digit so the whole row is one select:
+# TPU has no fast per-lane gather — a 24-entry table lookup as a
+# broadcast compare+select chain is ~200x cheaper than .at[] indexing
+# (the old _PERMUTATIONS[p, digit] gather cost ~6 ms/draw at 65k lanes
+# and dominated the entire wavefront body; r4 on-chip measurement).
+_PERM_PACKED = [
+    int(sum(int(row[d]) << (2 * d) for d in range(4)))
+    for row in _PERMUTATIONS_NP
+]
+
+
+def _perm_digit(p, digit):
+    """_PERMUTATIONS[p, digit] via packed constants + select chain."""
+    packed = jnp.zeros_like(p)
+    for q, val in enumerate(_PERM_PACKED):
+        packed = jnp.where(p == _U32(q), _U32(val), packed)
+    return (packed >> (digit << _U32(1))) & _U32(3)
 
 
 class ZSobolSampler:
@@ -176,6 +195,9 @@ class ZSobolSampler:
         res = int(max(resolution))
         log4_spp = (self.log2_spp + 1) // 2
         self.n_base4_digits = max(1, (res - 1).bit_length()) + log4_spp
+        # sample indices carry at most this many bits — bounds the Sobol
+        # matrix loop (every skipped iteration is 3 vector ops saved).
+        self._index_bits = min(32, 2 * self.n_base4_digits)
 
     def start_pixel_sample(self, pixel_xy, sample_index, dim0: int = 0) -> SamplerState:
         px = jnp.asarray(pixel_xy[..., 0], jnp.uint32)
@@ -200,11 +222,11 @@ class ZSobolSampler:
             digit_shift = _U32(2 * i - (1 if pow2_samples else 0))
             digit = (morton >> digit_shift) & _U32(3)
             higher = morton >> (digit_shift + _U32(2))
-            p = (
-                srng.hash_combine(higher, dim, _U32(self.seed))
-                % _U32(24)
-            )
-            digit = _PERMUTATIONS[p, digit]
+            # p = hash % 24 without integer division (TPU emulates u32
+            # modulo at ~100 ops): fixed-point scale of the top 16 bits.
+            h = srng.hash_combine(higher, dim, _U32(self.seed))
+            p = ((h >> _U32(16)) * _U32(24)) >> _U32(16)
+            digit = _perm_digit(p, digit)
             sample_index = sample_index | (digit << digit_shift)
         if pow2_samples:
             digit = morton & _U32(1)
@@ -222,7 +244,7 @@ class ZSobolSampler:
     def get_1d(self, state: SamplerState):
         idx = self._sample_index(state)
         h = srng.hash_combine(state.dim, _U32(self.seed))
-        v = sobol_sample_u32(idx, _SOBOL_COLS[0])
+        v = sobol_sample_u32(idx, _SOBOL_COLS[0], self._index_bits)
         v = fast_owen_scramble(v, h)
         u = srng.u32_to_unit_float(v)
         return u, SamplerState(
@@ -234,9 +256,12 @@ class ZSobolSampler:
     def get_2d(self, state: SamplerState):
         idx = self._sample_index(state)
         h = srng.hash_combine(state.dim, _U32(self.seed))
-        vx = fast_owen_scramble(sobol_sample_u32(idx, _SOBOL_COLS[0]), h)
+        vx = fast_owen_scramble(
+            sobol_sample_u32(idx, _SOBOL_COLS[0], self._index_bits), h
+        )
         vy = fast_owen_scramble(
-            sobol_sample_u32(idx, _SOBOL_COLS[1]), h ^ _U32(0x55555555)
+            sobol_sample_u32(idx, _SOBOL_COLS[1], self._index_bits),
+            h ^ _U32(0x55555555),
         )
         u = vec2(srng.u32_to_unit_float(vx), srng.u32_to_unit_float(vy))
         return u, SamplerState(
