@@ -73,7 +73,10 @@ import os
 
 P = 128                      # rays per packet (one vreg lane dim)
 # Interleaved packets per grid step (env knob for on-chip tuning).
-K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "2"))
+# Default 4: r4 on-chip sweep measured (131k bounce rays, 327k tris)
+# K=2: 5.55, K=4: 6.93, K=8: 7.16 Mrays/s raw — 4 is the knee; 8 adds
+# VMEM/SMEM pressure for ~3%.
+K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "4"))
 # Input rows per packet.  Everything loop-invariant is precomputed by
 # XLA at pack time and handed to the kernel as extra rows — the kernel
 # loop then contains no divides and no shear/permute setup:

@@ -29,6 +29,8 @@ tree (advisor r1).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +65,10 @@ _A_MAT = 15      # material id (may be -1)
 _A_ALI = 16      # area light id (may be -1)
 _A_REV = 17      # reverse_orientation flag (0/1)
 _A_ORIG = 18     # original (pre-BVH-sort) triangle index
+_A_P0 = 19       # 19:28 p0,p1,p2 render-space vertices — the fast
+#                  interaction path reads ONE packed row per hit instead
+#                  of an index gather + 3 vertex-pool gathers (per-lane
+#                  gathers are the dominant non-kernel trace cost on TPU)
 
 # Light-row columns (one (16,) f32 row per ORIGINAL-order triangle).
 _LIGHT_W = 16    # 0:9 p0,p1,p2 | 9 rev
@@ -170,6 +176,7 @@ def _attr_for(cat: dict, perm: np.ndarray) -> np.ndarray:
     attr[:, _A_ALI] = cat["area_light_id"][perm].astype(np.float32)
     attr[:, _A_REV] = cat["rev"][perm].astype(np.float32)
     attr[:, _A_ORIG] = perm.astype(np.float32)
+    attr[:, _A_P0 : _A_P0 + 9] = cat["tri_p"][perm].reshape(t_n, 9)
     return attr
 
 
@@ -566,9 +573,12 @@ def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             tris, ray_o, ray_d, t_max, any_hit=any_hit,
             interpret=tris.traversal == "pallas"
             and jax.default_backend() != "tpu",
-            # Morton/octant packet sorting: pays for itself on bounce/
-            # shadow batches and compacts dead lanes into idle packets.
-            sort_rays=True,
+            # Morton/octant sorting measured NET-NEGATIVE on-chip (r4):
+            # the 131k-lane argsort costs ~6 ms and the shared-stack
+            # union did not shrink on bounce loads (origin-clustered
+            # rays with divergent directions still visit the union).
+            # Off by default; the env knob re-enables for experiments.
+            sort_rays=bool(int(os.environ.get("SHIMMER_SORT_RAYS", "0"))),
         )
     return _traverse(tris, ray_o, ray_d, t_max, any_hit=any_hit, raw=True)
 
@@ -601,15 +611,20 @@ def triangle_interaction_from_raw(
     so the hit decision reproduces bit-for-bit given equal inputs).
     With differentiable_hits this is the standard detached-traversal
     construction for differentiable rendering: gradients flow through
-    the re-intersection to ray and vertex positions; otherwise the
-    inputs are detached and it is purely the (t, b0, b1, b2) rebuild."""
+    the re-intersection to ray and vertex positions (vertex-pool
+    gathers); otherwise everything comes from ONE packed attr-row gather
+    per hit (cols _A_P0+ hold the verts) and it is purely the
+    (t, b0, b1, b2) rebuild."""
     tri_c = jnp.maximum(tri, 0)
-    _, p0, p1, p2 = _gather_tri(tris, tri_c)
-    ro, rd = ray_o, ray_d
-    if not tris.differentiable_hits:
-        p0 = jax.lax.stop_gradient(p0)
-        p1 = jax.lax.stop_gradient(p1)
-        p2 = jax.lax.stop_gradient(p2)
+    attr = None
+    if tris.differentiable_hits:
+        _, p0, p1, p2 = _gather_tri(tris, tri_c)
+        ro, rd = ray_o, ray_d
+    else:
+        attr = tris.attr_rows[tri_c]                 # (N, 32) — THE gather
+        p0 = attr[..., _A_P0 + 0 : _A_P0 + 3]
+        p1 = attr[..., _A_P0 + 3 : _A_P0 + 6]
+        p2 = attr[..., _A_P0 + 6 : _A_P0 + 9]
         ro = jax.lax.stop_gradient(ray_o)
         rd = jax.lax.stop_gradient(ray_d)
     _, t, b0, b1, b2 = intersect_triangle(
@@ -624,18 +639,19 @@ def triangle_interaction_from_raw(
     b2 = jnp.where(hit, b2, 0.0)
     return build_triangle_interaction(
         tris.attr_rows, tris.has_normals, ray_o, ray_d,
-        t, tri, b0, b1, b2, p0, p1, p2,
+        t, tri, b0, b1, b2, p0, p1, p2, attr=attr,
     )
 
 
 def build_triangle_interaction(
     attr_rows, has_normals, ray_o, ray_d, t, tri, b0, b1, b2, p0, p1, p2,
-    ns_transform=None,
+    ns_transform=None, attr=None,
 ):
     """Interaction construction from a winning triangle
     (triangle.rs:305-504 interaction_from_intersection).  Shared by the
     single-level scene path and the two-level instanced path (which
-    passes world-space verts + an object->world normal transform)."""
+    passes world-space verts + an object->world normal transform).
+    attr: optional pre-gathered (N, 32) attr rows (skips the gather)."""
     valid = tri >= 0
     tri_c = jnp.maximum(tri, 0)
     t = jnp.where(valid, t, jnp.inf)
@@ -650,7 +666,8 @@ def build_triangle_interaction(
     )
 
     # Shading attributes: ONE packed row per hit.
-    attr = attr_rows[tri_c]                  # (N, 32)
+    if attr is None:
+        attr = attr_rows[tri_c]              # (N, 32)
     uv0 = attr[..., _A_UV + 0 : _A_UV + 2]
     uv1 = attr[..., _A_UV + 2 : _A_UV + 4]
     uv2 = attr[..., _A_UV + 4 : _A_UV + 6]
