@@ -478,7 +478,7 @@ def ray_sort_keys(tris, ray_o, ray_d, want_any=None):
 
 def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
                          interpret=False, return_steps=False,
-                         sort_rays=False, n_res=None):
+                         sort_rays=False, n_res=None, compact_dead=True):
     """Minimal packet-traversal entry: returns ``(t, tri)`` (and steps
     when requested) in ORIGINAL ray order — t = +inf on miss.
 
@@ -512,6 +512,35 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
             jnp.int32(0x7FFFFFFF),
         )
         order = jnp.argsort(keys)
+        inv = order
+        ray_o = ray_o[order]
+        ray_d = ray_d[order]
+        t_max = t_max[order]
+        want = want[order]
+    elif compact_dead and n > P:
+        # O(N) live-first partition (prefix sum, no argsort): wavefront
+        # dispatches run at ~30% occupancy with dead lanes scattered
+        # through every packet — compacting them empties whole packets
+        # (zero traversal steps) at the cost of two cumsums + one
+        # unique-index scatter, far below the ~6 ms bitonic argsort.
+        # Shadow (any-hit) lanes partition after extension lanes so the
+        # two ray classes keep separate packets.
+        live = t_max > 0.0
+        g0 = live & ~want
+        g1 = live & want
+        c0 = jnp.cumsum(g0.astype(jnp.int32))
+        c1 = jnp.cumsum(g1.astype(jnp.int32))
+        n0, n1 = c0[-1], c1[-1]
+        dead_rank = (
+            jnp.cumsum((~live).astype(jnp.int32)) - 1
+        )
+        dest = jnp.where(
+            g0, c0 - 1, jnp.where(g1, n0 + c1 - 1, n0 + n1 + dead_rank)
+        )
+        iota = jnp.arange(n, dtype=jnp.int32)
+        order = jnp.zeros(n, jnp.int32).at[dest].set(
+            iota, unique_indices=True
+        )
         inv = order
         ray_o = ray_o[order]
         ray_d = ray_d[order]

@@ -579,6 +579,8 @@ def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             # rays with divergent directions still visit the union).
             # Off by default; the env knob re-enables for experiments.
             sort_rays=bool(int(os.environ.get("SHIMMER_SORT_RAYS", "0"))),
+            # O(N) live-first partition (see traverse_packets_raw).
+            compact_dead=bool(int(os.environ.get("SHIMMER_COMPACT", "1"))),
         )
     return _traverse(tris, ray_o, ray_d, t_max, any_hit=any_hit, raw=True)
 

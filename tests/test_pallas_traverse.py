@@ -170,3 +170,35 @@ def test_streaming_any_hit(scene_and_rays):
     np.testing.assert_array_equal(
         np.asarray(tri_st) >= 0, np.asarray(tri_all) >= 0
     )
+
+
+def test_compaction_mixed_dead_and_shadow(scene_and_rays):
+    """Live-first partition path: scattered dead lanes + mixed any-hit
+    flags must return results identical to the uncompacted kernel, in
+    original lane order."""
+    from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
+
+    tris, o, d = scene_and_rays
+    n = o.shape[0]
+    rng = np.random.default_rng(11)
+    t_max = jnp.asarray(
+        np.where(rng.random(n) < 0.4, -np.inf, np.inf).astype(np.float32)
+    )
+    want = jnp.asarray(rng.random(n) < 0.5)
+
+    t_c, tri_c = traverse_packets_raw(
+        tris, o, d, t_max, any_hit=want, interpret=True, compact_dead=True
+    )
+    t_u, tri_u = traverse_packets_raw(
+        tris, o, d, t_max, any_hit=want, interpret=True, compact_dead=False
+    )
+    # closest-hit lanes: identical winners; any-hit lanes: same hit/miss
+    wa = np.asarray(want)
+    np.testing.assert_array_equal(
+        np.asarray(tri_c)[~wa], np.asarray(tri_u)[~wa]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tri_c)[wa] >= 0, np.asarray(tri_u)[wa] >= 0
+    )
+    dead = ~np.isfinite(np.asarray(t_max)) | (np.asarray(t_max) <= 0)
+    assert (np.asarray(tri_c)[dead] == -1).all()
