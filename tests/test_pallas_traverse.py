@@ -200,5 +200,6 @@ def test_compaction_mixed_dead_and_shadow(scene_and_rays):
     np.testing.assert_array_equal(
         np.asarray(tri_c)[wa] >= 0, np.asarray(tri_u)[wa] >= 0
     )
-    dead = ~np.isfinite(np.asarray(t_max)) | (np.asarray(t_max) <= 0)
+    # dead = non-positive t_max (t_max = +inf is a LIVE unbounded ray)
+    dead = np.asarray(t_max) <= 0
     assert (np.asarray(tri_c)[dead] == -1).all()
