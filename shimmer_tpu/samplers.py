@@ -18,6 +18,7 @@ reproduces the same values exactly (required for path-replay backprop).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,12 +107,19 @@ def sobol_sample_u32(index, dim_cols, max_bits: int = 32):
     index: (...,) uint32; dim_cols: list of 32 python-int column masks →
     (...,) uint32 sample (radical-inverse bits).  max_bits bounds the
     loop when the caller knows the index width.
+
+    Vectorized: one (..., bits) broadcast + XOR reduction instead of an
+    unrolled 32-op chain (compiles ~30x smaller; the constants ride as a
+    single array, never python-indexed — see module note above).
     """
-    v = jnp.zeros_like(index)
-    for j in range(min(32, max_bits)):
-        bit = (index >> _U32(j)) & _U32(1)
-        v = v ^ jnp.where(bit != 0, _U32(dim_cols[j]), _U32(0))
-    return v
+    nb = min(32, max_bits)
+    cols = jnp.asarray(np.asarray(dim_cols[:nb], np.uint32))
+    shifts = jnp.arange(nb, dtype=jnp.uint32)
+    bits = (index[..., None] >> shifts) & _U32(1)
+    terms = jnp.where(bits != 0, cols, _U32(0))
+    return jax.lax.reduce(
+        terms, np.uint32(0), jax.lax.bitwise_xor, (terms.ndim - 1,)
+    )
 
 
 def fast_owen_scramble(v, seed):
@@ -175,10 +183,12 @@ _PERM_PACKED = [
 
 
 def _perm_digit(p, digit):
-    """_PERMUTATIONS[p, digit] via packed constants + select chain."""
-    packed = jnp.zeros_like(p)
-    for q, val in enumerate(_PERM_PACKED):
-        packed = jnp.where(p == _U32(q), _U32(val), packed)
+    """_PERMUTATIONS[p, digit] via packed constants + one-hot reduce."""
+    table = jnp.asarray(np.asarray(_PERM_PACKED, np.uint32))
+    oh = p[..., None] == jnp.arange(24, dtype=p.dtype)
+    packed = jnp.sum(
+        jnp.where(oh, table, _U32(0)), axis=-1, dtype=jnp.uint32
+    )
     return (packed >> (digit << _U32(1))) & _U32(3)
 
 
@@ -212,26 +222,36 @@ class ZSobolSampler:
         )
 
     def _sample_index(self, state: SamplerState):
-        """Randomized Morton index (pbrt ZSobolSampler::GetSampleIndex)."""
+        """Randomized Morton index (pbrt ZSobolSampler::GetSampleIndex).
+
+        Each base-4 digit's permutation depends only on (morton, dim), not
+        on the other digits — so all rounds evaluate as ONE batched
+        (..., D) computation + an OR reduction instead of a sequential
+        unrolled chain (12x less program, full VPU width)."""
         morton = state.pixel_hash
         dim = state.dim
-        sample_index = jnp.zeros_like(morton)
         pow2_samples = (self.log2_spp & 1) == 1
         last_digit = 1 if pow2_samples else 0
-        for i in range(self.n_base4_digits - 1, last_digit - 1, -1):
-            digit_shift = _U32(2 * i - (1 if pow2_samples else 0))
-            digit = (morton >> digit_shift) & _U32(3)
-            higher = morton >> (digit_shift + _U32(2))
-            # p = hash % 24 without integer division (TPU emulates u32
-            # modulo at ~100 ops): fixed-point scale of the top 16 bits.
-            h = srng.hash_combine(higher, dim, _U32(self.seed))
-            p = ((h >> _U32(16)) * _U32(24)) >> _U32(16)
-            digit = _perm_digit(p, digit)
-            sample_index = sample_index | (digit << digit_shift)
+        i_vals = np.arange(self.n_base4_digits - 1, last_digit - 1, -1)
+        shifts = jnp.asarray(
+            (2 * i_vals - (1 if pow2_samples else 0)).astype(np.uint32)
+        )
+        m = morton[..., None]
+        digit = (m >> shifts) & _U32(3)
+        higher = m >> (shifts + _U32(2))
+        # p = hash % 24 without integer division (TPU emulates u32
+        # modulo at ~100 ops): fixed-point scale of the top 16 bits.
+        h = srng.hash_combine(higher, dim[..., None], _U32(self.seed))
+        p = ((h >> _U32(16)) * _U32(24)) >> _U32(16)
+        dig = _perm_digit(p, digit)                       # (..., D)
+        sample_index = jax.lax.reduce(
+            dig << shifts, np.uint32(0), jax.lax.bitwise_or,
+            (dig.ndim - 1,),
+        )
         if pow2_samples:
-            digit = morton & _U32(1)
+            digit0 = morton & _U32(1)
             sample_index = sample_index | (
-                digit
+                digit0
                 ^ (
                     srng.hash_combine(
                         morton >> _U32(1), dim, _U32(self.seed)
