@@ -207,7 +207,7 @@ class RgbFilm:
         return rgb * scale[..., None]
 
     def add_samples(
-        self, state: FilmState, pixel_xy, L, swl, weight
+        self, state: FilmState, pixel_xy, L, swl, weight, unique: bool = False
     ) -> FilmState:
         """Accumulate filter-weighted samples (film.rs:548-574).
 
@@ -216,15 +216,21 @@ class RgbFilm:
         importance sampling each sample lands on exactly one pixel, so this
         is a pure scatter-add — the TPU replacement for the reference's
         per-tile unsafe film writes.
+
+        unique: caller guarantees every lane targets a DISTINCT pixel
+        (one sample per block pixel; padded lanes must be routed out of
+        bounds).  TPU scatter then skips the duplicate-index
+        serialization — a large win at wave lane counts.
         """
         rgb = self._clamped_rgb(L, swl) * weight[..., None]
         px = pixel_xy[..., 0].reshape(-1)
         py = pixel_xy[..., 1].reshape(-1)
         rgb_flat = rgb.reshape(-1, 3).astype(self.accum_dtype)
         w_flat = weight.reshape(-1).astype(self.accum_dtype)
+        kw = {"unique_indices": True, "mode": "drop"} if unique else {}
         return FilmState(
-            rgb_sum=state.rgb_sum.at[py, px].add(rgb_flat),
-            weight_sum=state.weight_sum.at[py, px].add(w_flat),
+            rgb_sum=state.rgb_sum.at[py, px].add(rgb_flat, **kw),
+            weight_sum=state.weight_sum.at[py, px].add(w_flat, **kw),
             rgb_splat=state.rgb_splat,
         )
 

@@ -160,9 +160,9 @@ class LocalBandFilm:
             [pixel_xy[..., 0], pixel_xy[..., 1] - self._band], axis=-1
         )
 
-    def add_samples(self, state, pixel_xy, l, swl, weight):
+    def add_samples(self, state, pixel_xy, l, swl, weight, unique=False):
         return self._film.add_samples(
-            state, self.local_xy(pixel_xy), l, swl, weight
+            state, self.local_xy(pixel_xy), l, swl, weight, unique=unique
         )
 
 

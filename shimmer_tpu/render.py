@@ -79,7 +79,18 @@ def render_pixel_samples(
         # NaN/∞ guard (integrator.rs:377-382).
         bad = jnp.any(~jnp.isfinite(l), axis=-1)
         l = jnp.where(bad[..., None], 0.0, l)
-        fs = film.add_samples(fs, pixel_xy, l, swl, weight)
+        # One sample per DISTINCT block pixel per scan step → the film
+        # scatter has unique indices (padded duplicate lanes are routed
+        # out of bounds and dropped).
+        if pixel_valid is not None:
+            w_img, h_img = film.resolution
+            scatter_xy = jnp.where(
+                pixel_valid[..., None], pixel_xy,
+                jnp.array([w_img, h_img], pixel_xy.dtype),
+            )
+        else:
+            scatter_xy = pixel_xy
+        fs = film.add_samples(fs, scatter_xy, l, swl, weight, unique=True)
         return fs, None
 
     film_state, _ = jax.lax.scan(one_sample, film_state, sample_indices)
