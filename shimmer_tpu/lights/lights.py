@@ -21,7 +21,8 @@ from shimmer_tpu.shapes.sphere import (
     sphere_pdf_with_context,
     sphere_sample_with_context,
 )
-from shimmer_tpu.spectra.spectrum import dense_sample
+from shimmer_tpu.ops.math import small_gather
+from shimmer_tpu.spectra.spectrum import dense_sample, dense_sample_rows
 from shimmer_tpu.utils.pytree import pytree_dataclass
 
 # Light kinds.
@@ -91,9 +92,9 @@ def sample_li(
     tri_sampler: optional callable (shape_idx, ref_p, ref_ns, u) →
     (p, n, pdf) for triangle-backed area lights.
     """
-    kind = lights.kind[light_idx]
-    spec = dense_sample(lights.spectrum[light_idx], swl.lam) * (
-        lights.scale[light_idx][..., None]
+    kind = small_gather(lights.kind, light_idx)
+    spec = dense_sample_rows(lights.spectrum, light_idx, swl.lam) * (
+        small_gather(lights.scale, light_idx)[..., None]
     )
     batch = light_idx.shape
 
@@ -121,7 +122,7 @@ def sample_li(
 
     if POINT in kinds_present:
         m = kind == POINT
-        p = lights.position[light_idx]
+        p = small_gather(lights.position, light_idx)
         d2 = distance_squared(p, ref_p)
         wi = normalize(p - ref_p)
         # I / r^2 (light.rs:448-474)
@@ -130,53 +131,53 @@ def sample_li(
 
     if SPOT in kinds_present:
         m = kind == SPOT
-        p = lights.position[light_idx]
+        p = small_gather(lights.position, light_idx)
         d2 = distance_squared(p, ref_p)
         wi = normalize(p - ref_p)
         # Smooth falloff between cone angles (pbrt-v4 SpotLight).
-        cos_theta = dot(lights.direction[light_idx], -wi)
+        cos_theta = dot(small_gather(lights.direction, light_idx), -wi)
         falloff = smooth_step(
             cos_theta,
-            lights.cos_falloff_end[light_idx],
-            lights.cos_falloff_start[light_idx],
+            small_gather(lights.cos_falloff_end, light_idx),
+            small_gather(lights.cos_falloff_start, light_idx),
         )
         l = spec * falloff[..., None] / jnp.maximum(d2, 1e-12)[..., None]
         out = sel(m, l, wi, jnp.ones(batch), p, -wi, (d2 > 0.0) & (falloff > 0.0), out)
 
     if DISTANT in kinds_present:
         m = kind == DISTANT
-        wi = -lights.direction[light_idx]
+        wi = -small_gather(lights.direction, light_idx)
         p = ref_p + wi * (2.0 * lights.scene_radius)
         out = sel(m, spec, wi, jnp.ones(batch), p, -wi, jnp.ones(batch, bool), out)
 
     if AREA in kinds_present:
         m = kind == AREA
-        sidx = lights.shape_idx[light_idx]
+        sidx = small_gather(lights.shape_idx, light_idx)
         if spheres is not None:
             p, n, pdf = sphere_sample_with_context(
                 spheres, sidx, ref_p, ref_ns, u
             )
-            sm = m & (lights.shape_kind[light_idx] == 0)
+            sm = m & (small_gather(lights.shape_kind, light_idx) == 0)
             wi = normalize(p - ref_p)
-            emits = lights.two_sided[light_idx] | (dot(n, -wi) > 0.0)
+            emits = small_gather(lights.two_sided, light_idx) | (dot(n, -wi) > 0.0)
             l = jnp.where(emits[..., None], spec, 0.0)
             valid = (pdf > 0.0) & (distance_squared(p, ref_p) > 0.0) & emits
             out = sel(sm, l, wi, pdf, p, n, valid, out)
         if tri_sampler is not None:
-            tm = m & (lights.shape_kind[light_idx] == 1)
-            p, n, pdf = tri_sampler(lights.shape_idx[light_idx], ref_p, ref_ns, u)
+            tm = m & (small_gather(lights.shape_kind, light_idx) == 1)
+            p, n, pdf = tri_sampler(small_gather(lights.shape_idx, light_idx), ref_p, ref_ns, u)
             wi = normalize(p - ref_p)
-            emits = lights.two_sided[light_idx] | (dot(n, -wi) > 0.0)
+            emits = small_gather(lights.two_sided, light_idx) | (dot(n, -wi) > 0.0)
             l = jnp.where(emits[..., None], spec, 0.0)
             valid = (pdf > 0.0) & (distance_squared(p, ref_p) > 0.0) & emits
             out = sel(tm, l, wi, pdf, p, n, valid, out)
         if patch_sampler is not None:
-            pm = m & (lights.shape_kind[light_idx] == 2)
+            pm = m & (small_gather(lights.shape_kind, light_idx) == 2)
             p, n, pdf = patch_sampler(
-                lights.shape_idx[light_idx], ref_p, ref_ns, u
+                small_gather(lights.shape_idx, light_idx), ref_p, ref_ns, u
             )
             wi = normalize(p - ref_p)
-            emits = lights.two_sided[light_idx] | (dot(n, -wi) > 0.0)
+            emits = small_gather(lights.two_sided, light_idx) | (dot(n, -wi) > 0.0)
             l = jnp.where(emits[..., None], spec, 0.0)
             valid = (pdf > 0.0) & (distance_squared(p, ref_p) > 0.0) & emits
             out = sel(pm, l, wi, pdf, p, n, valid, out)
@@ -220,22 +221,22 @@ def pdf_li(
     """Solid-angle pdf that sample_li would have produced direction wi
     (LightI::pdf_li).  For area lights the hit point si_p/si_n on the light
     is supplied (the MIS path has it from the BSDF-sampled intersection)."""
-    kind = lights.kind[light_idx]
+    kind = small_gather(lights.kind, light_idx)
     pdf = jnp.zeros(light_idx.shape, jnp.float32)
     if AREA in kinds_present and spheres is not None:
         m = kind == AREA
         p = sphere_pdf_with_context(
-            spheres, lights.shape_idx[light_idx], ref_p, wi, si_p, si_n
+            spheres, small_gather(lights.shape_idx, light_idx), ref_p, wi, si_p, si_n
         )
-        pdf = jnp.where(m & (lights.shape_kind[light_idx] == 0), p, pdf)
+        pdf = jnp.where(m & (small_gather(lights.shape_kind, light_idx) == 0), p, pdf)
     if AREA in kinds_present and tri_pdf is not None:
-        m = (kind == AREA) & (lights.shape_kind[light_idx] == 1)
-        p = tri_pdf(lights.shape_idx[light_idx], ref_p, ref_ns, wi, si_p, si_n)
+        m = (kind == AREA) & (small_gather(lights.shape_kind, light_idx) == 1)
+        p = tri_pdf(small_gather(lights.shape_idx, light_idx), ref_p, ref_ns, wi, si_p, si_n)
         pdf = jnp.where(m, p, pdf)
     if AREA in kinds_present and patch_pdf is not None:
-        m = (kind == AREA) & (lights.shape_kind[light_idx] == 2)
+        m = (kind == AREA) & (small_gather(lights.shape_kind, light_idx) == 2)
         p = patch_pdf(
-            lights.shape_idx[light_idx], ref_p, ref_ns, wi, si_p, si_n
+            small_gather(lights.shape_idx, light_idx), ref_p, ref_ns, wi, si_p, si_n
         )
         pdf = jnp.where(m, p, pdf)
     if UNIFORM_INFINITE in kinds_present:
@@ -254,9 +255,9 @@ def pdf_li(
 def area_light_l(lights: LightData, light_idx, n, w, swl):
     """Emitted radiance from a point on an area light toward w
     (DiffuseAreaLight::l, light.rs:667-685)."""
-    emits = lights.two_sided[light_idx] | (dot(n, w) > 0.0)
-    spec = dense_sample(lights.spectrum[light_idx], swl.lam) * (
-        lights.scale[light_idx][..., None]
+    emits = small_gather(lights.two_sided, light_idx) | (dot(n, w) > 0.0)
+    spec = dense_sample_rows(lights.spectrum, light_idx, swl.lam) * (
+        small_gather(lights.scale, light_idx)[..., None]
     )
     return jnp.where(emits[..., None], spec, 0.0)
 

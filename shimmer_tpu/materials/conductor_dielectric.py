@@ -31,7 +31,7 @@ from shimmer_tpu.ops.vecmath import (
     same_hemisphere,
 )
 from shimmer_tpu.spectra.rgb2spec import sigmoid_poly_sample
-from shimmer_tpu.spectra.spectrum import dense_sample
+from shimmer_tpu.spectra.spectrum import dense_sample, dense_sample_rows
 
 
 def _material_alphas(materials, mat_id, tex):
@@ -57,10 +57,10 @@ def _conductor_eta_k(materials, mat_id, swl, spectra_table, tex):
     k_idx = materials.k_spec[mat_id]
     use_spec = eta_idx >= 0
     if spectra_table is not None:
-        eta_s = dense_sample(
-            spectra_table[jnp.maximum(eta_idx, 0)], swl.lam
+        eta_s = dense_sample_rows(
+            spectra_table, jnp.maximum(eta_idx, 0), swl.lam
         )
-        k_s = dense_sample(spectra_table[jnp.maximum(k_idx, 0)], swl.lam)
+        k_s = dense_sample_rows(spectra_table, jnp.maximum(k_idx, 0), swl.lam)
     else:
         eta_s = jnp.ones(swl.lam.shape)
         k_s = jnp.ones(swl.lam.shape)
@@ -82,8 +82,8 @@ def _dielectric_eta(materials, mat_id, swl, spectra_table):
     eta_idx = materials.eta_spec[mat_id]
     eta_f = materials.eta_float[mat_id]
     if spectra_table is not None:
-        eta_s = dense_sample(
-            spectra_table[jnp.maximum(eta_idx, 0)], swl.lam
+        eta_s = dense_sample_rows(
+            spectra_table, jnp.maximum(eta_idx, 0), swl.lam
         )[..., 0]
         return jnp.where(eta_idx >= 0, eta_s, eta_f)
     return eta_f

@@ -22,7 +22,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from shimmer_tpu.spectra.spectrum import Spectrum, dense_sample
+from shimmer_tpu.spectra.spectrum import (
+    Spectrum,
+    dense_sample_rows,
+)
 from shimmer_tpu.utils.pytree import pytree_dataclass
 
 
@@ -80,8 +83,8 @@ def medium_sigma(media: MediumData, mid, lam):
     """Spectral sigma_a, sigma_s, g at hero wavelengths for per-lane
     medium ids (mid < 0 → zeros: vacuum)."""
     midc = jnp.maximum(mid, 0)
-    sa = dense_sample(media.sigma_a[midc], lam)
-    ss = dense_sample(media.sigma_s[midc], lam)
+    sa = dense_sample_rows(media.sigma_a, midc, lam)
+    ss = dense_sample_rows(media.sigma_s, midc, lam)
     on = (mid >= 0)[..., None]
     return (
         jnp.where(on, sa, 0.0),

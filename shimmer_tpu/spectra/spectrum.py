@@ -62,6 +62,20 @@ def dense_sample(values, lam):
     return jnp.where(in_range, v, 0.0)
 
 
+def dense_sample_rows(table, row_idx, lam):
+    """``dense_sample(table[row_idx], lam)`` fused into one 2-D gather.
+
+    table: (K, 471); row_idx: (...,) int; lam: (..., 4).  Gathering the
+    full 471-bin row per lane materializes ~2 KB/lane before the 4-bin
+    take; indexing (row, bin) jointly fetches just the 4 floats."""
+    table = jnp.asarray(table, jnp.float32)
+    idx = jnp.asarray(lam, jnp.float32).astype(jnp.int32) - int(LAMBDA_MIN)
+    in_range = (idx >= 0) & (idx < N_DENSE)
+    idx = jnp.clip(idx, 0, N_DENSE - 1)
+    v = table[row_idx[..., None], idx]
+    return jnp.where(in_range, v, 0.0)
+
+
 def cie_xyz_sample(lam):
     """Sample the CIE X/Y/Z matching functions at (..., 4) wavelengths.
 
