@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from shimmer_tpu.ops.math import small_gather
 from shimmer_tpu.materials import bxdf as bx
 from shimmer_tpu.materials.bxdf import BSDFSample, select_sample
 from shimmer_tpu.materials import scattering as sc
@@ -35,8 +36,8 @@ from shimmer_tpu.spectra.spectrum import dense_sample, dense_sample_rows
 
 
 def _material_alphas(materials, mat_id, tex):
-    ax = materials.uroughness[mat_id]
-    ay = materials.vroughness[mat_id]
+    ax = small_gather(materials.uroughness, mat_id)
+    ay = small_gather(materials.vroughness, mat_id)
     if tex:
         if tex.get("uroughness") is not None:
             ax = tex["uroughness"]
@@ -53,8 +54,8 @@ def _material_alphas(materials, mat_id, tex):
 
 def _conductor_eta_k(materials, mat_id, swl, spectra_table, tex):
     """Per-wavelength (eta, k): dense-spectrum rows or reflectance mode."""
-    eta_idx = materials.eta_spec[mat_id]
-    k_idx = materials.k_spec[mat_id]
+    eta_idx = small_gather(materials.eta_spec, mat_id)
+    k_idx = small_gather(materials.k_spec, mat_id)
     use_spec = eta_idx >= 0
     if spectra_table is not None:
         eta_s = dense_sample_rows(
@@ -68,7 +69,7 @@ def _conductor_eta_k(materials, mat_id, swl, spectra_table, tex):
     if tex and tex.get("reflectance") is not None:
         refl = tex["reflectance"]
     else:
-        refl = sigmoid_poly_sample(materials.reflectance[mat_id], swl.lam)
+        refl = sigmoid_poly_sample(small_gather(materials.reflectance, mat_id), swl.lam)
     refl = jnp.clip(refl, 0.0, 0.9999)
     k_r = 2.0 * jnp.sqrt(refl) / safe_sqrt(1.0 - refl)
     eta = jnp.where(use_spec[..., None], eta_s, 1.0)
@@ -79,8 +80,8 @@ def _conductor_eta_k(materials, mat_id, swl, spectra_table, tex):
 def _dielectric_eta(materials, mat_id, swl, spectra_table):
     """Scalar relative IOR per lane; spectral etas use the hero wavelength
     (dispersion requires terminate_secondary upstream)."""
-    eta_idx = materials.eta_spec[mat_id]
-    eta_f = materials.eta_float[mat_id]
+    eta_idx = small_gather(materials.eta_spec, mat_id)
+    eta_f = small_gather(materials.eta_float, mat_id)
     if spectra_table is not None:
         eta_s = dense_sample_rows(
             spectra_table, jnp.maximum(eta_idx, 0), swl.lam

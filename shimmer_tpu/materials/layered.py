@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from shimmer_tpu.ops.math import small_gather
 from shimmer_tpu.materials import bxdf as bx
 from shimmer_tpu.materials import scattering as sc
 from shimmer_tpu.materials.bxdf import BSDFSample, select_sample
@@ -507,8 +508,8 @@ def _interfaces(materials, mat_id, kind_is_conductor, swl, spectra_table, tex):
     )
     from shimmer_tpu.spectra.rgb2spec import sigmoid_poly_sample
 
-    ax = sc.roughness_to_alpha(materials.uroughness[mat_id])
-    ay = sc.roughness_to_alpha(materials.vroughness[mat_id])
+    ax = sc.roughness_to_alpha(small_gather(materials.uroughness, mat_id))
+    ay = sc.roughness_to_alpha(small_gather(materials.vroughness, mat_id))
     ax, ay = sc.clamp_alpha(ax, ay)
     eta = _dielectric_eta(materials, mat_id, swl, None)
     top = _TopInterface(eta, ax, ay)
@@ -516,11 +517,11 @@ def _interfaces(materials, mat_id, kind_is_conductor, swl, spectra_table, tex):
     if tex and tex.get("reflectance") is not None:
         refl = tex["reflectance"]
     else:
-        refl = sigmoid_poly_sample(materials.reflectance[mat_id], swl.lam)
+        refl = sigmoid_poly_sample(small_gather(materials.reflectance, mat_id), swl.lam)
     bot_d = _DiffuseBottom(refl)
 
-    bax = sc.roughness_to_alpha(materials.bot_uroughness[mat_id])
-    bay = sc.roughness_to_alpha(materials.bot_vroughness[mat_id])
+    bax = sc.roughness_to_alpha(small_gather(materials.bot_uroughness, mat_id))
+    bay = sc.roughness_to_alpha(small_gather(materials.bot_vroughness, mat_id))
     bax, bay = sc.clamp_alpha(bax, bay)
     c_eta, c_k = _conductor_eta_k(materials, mat_id, swl, spectra_table, tex)
     bot_c = _ConductorBottom(c_eta, c_k, bax, bay)
@@ -530,9 +531,9 @@ def _interfaces(materials, mat_id, kind_is_conductor, swl, spectra_table, tex):
 def _layer_params(materials, mat_id, swl):
     from shimmer_tpu.spectra.rgb2spec import sigmoid_poly_sample
 
-    thickness = materials.thickness[mat_id]
-    g = materials.hg_g[mat_id]
-    albedo = sigmoid_poly_sample(materials.albedo[mat_id], swl.lam)
+    thickness = small_gather(materials.thickness, mat_id)
+    g = small_gather(materials.hg_g, mat_id)
+    albedo = sigmoid_poly_sample(small_gather(materials.albedo, mat_id), swl.lam)
     return thickness, g, albedo
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from shimmer_tpu.ops.math import small_gather
 from shimmer_tpu.materials import bxdf as bx
 from shimmer_tpu.materials.bxdf import BSDFSample, select_sample
 from shimmer_tpu.ops.vecmath import dot, normalize
@@ -129,10 +130,10 @@ def resolve_mix(materials: MaterialTable, kinds_present: tuple, mat_id, u):
     if MIX not in kinds_present:
         return mat_id
     for _ in range(2):
-        is_mix = materials.kind[mat_id] == MIX
-        amt = materials.mix_amount[mat_id]
+        is_mix = small_gather(materials.kind, mat_id) == MIX
+        amt = small_gather(materials.mix_amount, mat_id)
         chosen = jnp.where(
-            u < amt, materials.mix_m1[mat_id], materials.mix_m2[mat_id]
+            u < amt, small_gather(materials.mix_m1, mat_id), small_gather(materials.mix_m2, mat_id)
         )
         mat_id = jnp.where(is_mix, chosen, mat_id)
     return mat_id
@@ -150,7 +151,7 @@ def _local_dirs(frame, *ws):
 def _diffuse_reflectance(materials, mat_id, swl, tex_reflectance=None):
     if tex_reflectance is not None:
         return tex_reflectance
-    coeffs = materials.reflectance[mat_id]
+    coeffs = small_gather(materials.reflectance, mat_id)
     return sigmoid_poly_sample(coeffs, swl.lam)
 
 
@@ -169,7 +170,7 @@ def bsdf_f(
 ):
     """Render-space BSDF evaluation over lanes (BSDF::f, bsdf.rs:31-42)."""
     wo, wi = _local_dirs(frame, wo_render, wi_render)
-    kind = materials.kind[mat_id]
+    kind = small_gather(materials.kind, mat_id)
     f = jnp.zeros(wo.shape[:-1] + (4,), jnp.float32)
     degenerate = (jnp.abs(wo[..., 2]) < 1e-9)
     if DIFFUSE in kinds_present:
@@ -213,7 +214,7 @@ def bsdf_sample(
 
     Returns the sample with ``wi`` converted back to render space."""
     wo = frame.to_local(wo_render)
-    kind = materials.kind[mat_id]
+    kind = small_gather(materials.kind, mat_id)
     batch = wo.shape[:-1]
     out = BSDFSample.invalid(batch)
     if DIFFUSE in kinds_present:
@@ -265,7 +266,7 @@ def bsdf_pdf(
 ):
     """Render-space BSDF pdf (BSDF::pdf, bsdf.rs:84-95)."""
     wo, wi = _local_dirs(frame, wo_render, wi_render)
-    kind = materials.kind[mat_id]
+    kind = small_gather(materials.kind, mat_id)
     pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
     if DIFFUSE in kinds_present:
         pdf = jnp.where(kind == DIFFUSE, bx.diffuse_pdf(wo, wi), pdf)

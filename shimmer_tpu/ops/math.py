@@ -230,6 +230,10 @@ def small_gather(table, idx, limit: int = 32):
     k = table.shape[0]
     if k > limit:
         return table[idx]
+    # Match jit gather semantics: out-of-range ids CLAMP into the table
+    # (miss lanes carry id -1; returning zeros instead would NaN the
+    # masked-branch gradients of downstream divisions).
+    idx = jnp.clip(idx, 0, k - 1)
     oh = idx[..., None] == jnp.arange(k, dtype=idx.dtype)   # (..., K)
     if table.dtype == bool:
         return jnp.any(oh & table, axis=-1)
