@@ -576,9 +576,15 @@ class SceneBuilder:
             return len(spectra_rows) - 1
 
         mat_dicts = []
+        force_diffuse = bool(self.options.get("forcediffuse", False))
         for m in self.materials:
+            kind_name = m["kind_name"]
+            if force_diffuse:
+                # Option "forcediffuse" (scene.rs:1438-1442): every
+                # material becomes diffuse with its reflectance.
+                kind_name = "diffuse"
             mat_dicts.append(
-                self._convert_material(m["kind_name"], m["pd"], add_spectrum_row)
+                self._convert_material(kind_name, m["pd"], add_spectrum_row)
             )
 
         # -- shapes + area lights --

@@ -472,3 +472,18 @@ class TestTypedErrors:
         b = SceneBuilder()
         with pytest.raises(ParameterError):
             parse_str('WorldBegin\nShape "sphere" "floot radius" [1]\n', b)
+
+    def test_option_forcediffuse(self):
+        from shimmer_tpu.materials import material as mtl
+
+        b = SceneBuilder()
+        parse_str(
+            'Option "bool forcediffuse" true\n'
+            'Camera "perspective"\n'
+            'Film "rgb" "integer xresolution" [8] "integer yresolution" [8]\n'
+            'Sampler "independent" "integer pixelsamples" [2]\n'
+            'Integrator "path"\nWorldBegin\n'
+            'Material "conductor"\nShape "sphere" "float radius" [1]\n', b
+        )
+        job = b.create()
+        assert tuple(job.scene.material_kinds) == (mtl.DIFFUSE,)
