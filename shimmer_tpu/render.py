@@ -138,11 +138,14 @@ def make_wave_renderer(
             0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
         )
 
-    def render_samples(
-        film_state: FilmState, sample_indices, pixel_xy, pixel_valid
-    ):
+    # The scene rides as a traced ARGUMENT, not a closure constant:
+    # closed-over tables embed in the HLO (multi-hundred-MB programs for
+    # Ganesha-scale scenes, which also overflow remote-compile request
+    # limits); as a parameter the tables stay device-resident buffers.
+    @jax.jit
+    def _wave(scene_arg, film_state, sample_indices, pixel_xy, pixel_valid):
         return render_pixel_samples(
-            scene,
+            scene_arg,
             camera,
             film,
             sampler,
@@ -158,7 +161,12 @@ def make_wave_renderer(
             disable_wavelength_jitter=disable_wavelength_jitter,
         )
 
-    return jax.jit(render_samples)
+    def render_samples(
+        film_state: FilmState, sample_indices, pixel_xy, pixel_valid
+    ):
+        return _wave(scene, film_state, sample_indices, pixel_xy, pixel_valid)
+
+    return render_samples
 
 
 def make_scan_wave_renderer(
@@ -229,9 +237,11 @@ def make_wavefront_renderer(
             0.125, 1.0 / np.sqrt(max(sampler.samples_per_pixel, 1))
         )
 
-    def render_samples(film_state, sample_indices, pixel_xy, pixel_valid):
+    # Scene as traced argument — see make_wave_renderer's note.
+    @jax.jit
+    def _wave(scene_arg, film_state, sample_indices, pixel_xy, pixel_valid):
         return render_wave_wavefront(
-            scene,
+            scene_arg,
             camera,
             film,
             sampler,
@@ -248,7 +258,10 @@ def make_wavefront_renderer(
             disable_wavelength_jitter=disable_wavelength_jitter,
         )
 
-    return jax.jit(render_samples)
+    def render_samples(film_state, sample_indices, pixel_xy, pixel_valid):
+        return _wave(scene, film_state, sample_indices, pixel_xy, pixel_valid)
+
+    return render_samples
 
 
 def make_replay_wavefront_renderer(
