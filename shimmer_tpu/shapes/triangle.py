@@ -579,8 +579,10 @@ def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             # rays with divergent directions still visit the union).
             # Off by default; the env knob re-enables for experiments.
             sort_rays=bool(int(os.environ.get("SHIMMER_SORT_RAYS", "0"))),
-            # O(N) live-first partition (see traverse_packets_raw).
-            compact_dead=bool(int(os.environ.get("SHIMMER_COMPACT", "1"))),
+            # O(N) live-first partition — measured NET-NEGATIVE too (r4:
+            # wave 1.01 vs 1.13 Mrays/s off; the reorder gathers cost
+            # more than the emptied packets save, even at 60% dead).
+            compact_dead=bool(int(os.environ.get("SHIMMER_COMPACT", "0"))),
         )
     return _traverse(tris, ray_o, ray_d, t_max, any_hit=any_hit, raw=True)
 
