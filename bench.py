@@ -350,7 +350,8 @@ def main():
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
                 **extras,
-            }
+            },
+            default=float,   # numpy scalars in extras
         )
     )
 
