@@ -495,6 +495,14 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
     (pays for itself on incoherent batches and compacts dead lanes into
     zero-step packets).
     """
+    # Traversal is discrete: no gradients flow through the kernel (hit
+    # geometry gradients come from the caller's re-intersection).  The
+    # node tables must be detached here or a vjp over the scene pytree
+    # hands the pallas_call nonzero tangents (no JVP rule — hard error).
+    tris = jax.tree_util.tree_map(jax.lax.stop_gradient, tris)
+    ray_o = jax.lax.stop_gradient(ray_o)
+    ray_d = jax.lax.stop_gradient(ray_d)
+    t_max = jax.lax.stop_gradient(t_max)
     n = ray_o.shape[0]
     kp = K_PACKETS * P
     g = max(1, -(-n // kp)) * K_PACKETS
