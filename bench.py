@@ -395,7 +395,11 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
         ("primary", ray.o, ray.d),
         ("bounce", jnp.asarray(pts * 1.05), jnp.asarray(dirs)),
     ]:
-        r = fn(o, d)
+        # 3 warmup dispatches: the first timed kernel sequence in a
+        # process reads ~7x slow regardless of config (tunnel/executable
+        # paging artifact, r4 measurements) — flush it before timing.
+        for k in range(3):
+            r = fn(o + 1e-6 * k, d)
         jax.block_until_ready(r)
         t0 = time.time()
         reps = 3
