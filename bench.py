@@ -14,7 +14,7 @@ incoherent bounce batches) so the throughput gap is attributed in the
 artifact itself.
 
 Stage breakdown (scene build / BVH / compile / per-wave render) goes to
-stderr.  Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 8),
+stderr.  Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 16),
 BENCH_RES ("WxH", default 1280x720), BENCH_BLOCK (lanes per dispatch,
 default 2^16), BENCH_PROFILE (directory -> capture a jax.profiler trace
 of one wave), BENCH_ATTRIB=0 / BENCH_BWD=0 (skip those phases).
