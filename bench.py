@@ -16,7 +16,7 @@ artifact itself.
 Stage breakdown (scene build / BVH / compile / per-wave render) goes to
 stderr.  Env knobs: BENCH_TRIS (default 300000), BENCH_SPP (default 16),
 BENCH_RES ("WxH", default 1280x720), BENCH_BLOCK (lanes per dispatch,
-default 2^16), BENCH_PROFILE (directory -> capture a jax.profiler trace
+default 2^17), BENCH_PROFILE (directory -> capture a jax.profiler trace
 of one wave), BENCH_ATTRIB=0 / BENCH_BWD=0 (skip those phases).
 """
 
@@ -209,9 +209,10 @@ def main():
 
     n_tris = int(os.environ.get("BENCH_TRIS", "300000"))
     spp = int(os.environ.get("BENCH_SPP", "16"))
-    # wave_spp 8: a deeper work pool amortizes the wavefront's drain
-    # tail — measured 0.53 -> 0.66 Mrays/s vs wave_spp 4 (r4 battery).
-    wave_spp = int(os.environ.get("BENCH_WAVE_SPP", "8"))
+    # Deeper work pool + wider dispatch amortize the wavefront's drain
+    # tail and per-iteration overheads: r4 on-chip sweep measured
+    # (block, wave_spp) = (2^16, 4): 0.53 -> (2^17, 16): 1.59 Mrays/s.
+    wave_spp = int(os.environ.get("BENCH_WAVE_SPP", "16"))
     max_depth = 5
 
     scene, cam, film, n_tri_total = build_bench_scene(n_tris)
@@ -222,7 +223,7 @@ def main():
         f"depth={max_depth}, device={jax.devices()[0].platform}"
     )
 
-    block = int(os.environ.get("BENCH_BLOCK", str(1 << 16)))
+    block = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     megakernel = bool(os.environ.get("BENCH_MEGAKERNEL"))
     if megakernel:
         wave_fn_raw = make_wave_renderer(
