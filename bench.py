@@ -331,6 +331,13 @@ def main():
         except Exception as e:  # diagnosis must never sink the headline
             log(f"attribution phase failed: {e!r}")
 
+    # --- Ganesha-scale: 1.3M tris through the HBM-streaming kernel ---
+    if os.environ.get("BENCH_STREAM", "1") != "0":
+        try:
+            extras.update(streaming_benchmark())
+        except Exception as e:
+            log(f"streaming phase failed: {e!r}")
+
     # --- backward: path-replay value-and-grad wave (north star fwd+bwd) ---
     if os.environ.get("BENCH_BWD", "1") != "0":
         try:
@@ -424,6 +431,50 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
             )
         )
     return out
+
+
+def streaming_benchmark(n_tris=1310720, wave_spp=8):
+    """One wave on a 1.3M-triangle scene (BASELINE config #4 class):
+    the node table exceeds the VMEM budget, so this exercises the
+    HBM-streaming Pallas traversal end-to-end on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from shimmer_tpu.ops.pallas.traverse import VMEM_TABLE_BYTES
+    from shimmer_tpu.render import make_wavefront_renderer, pixel_blocks
+    from shimmer_tpu.samplers import ZSobolSampler
+
+    scene, cam, film, n_tri = build_bench_scene(n_tris)
+    tiles = scene.triangles.tiles8.shape[0]
+    assert tiles * 4096 > VMEM_TABLE_BYTES, "scene too small to stream"
+    w, h = film.resolution
+    sampler = ZSobolSampler(wave_spp, (w, h))
+    wave_fn = make_wavefront_renderer(
+        scene, cam, film, sampler, max_depth=5, with_stats=True
+    )
+    blocks, valids = pixel_blocks(film, 1 << 17)
+    state = film.init_state()
+    idx = jnp.arange(wave_spp, dtype=jnp.uint32)
+    t0 = time.time()
+    state, st = wave_fn(state, idx, blocks[0], valids[0])
+    jax.block_until_ready(state)
+    log(f"streaming 1.3M compile+block0: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    rays = 0.0
+    reps = 2
+    for b in range(1, 1 + reps):
+        state, st = wave_fn(state, idx, blocks[b], valids[b])
+        rays += float(st["rays"])
+    jax.block_until_ready(state)
+    dt = (time.time() - t0) / reps
+    mr = rays / reps / dt / 1e6
+    mean = float(jnp.mean(film.get_image(state)))
+    assert np.isfinite(mean) and mean > 0, "streaming render bad image"
+    log(
+        f"streaming 1.3M tris ({tiles} tiles, VMEM budget "
+        f"{VMEM_TABLE_BYTES >> 20}MB): {mr:.3f} Mrays/s"
+    )
+    return {"ganesha_1p3m_mrays_per_s": round(mr, 3)}
 
 
 def bwd_benchmark(
