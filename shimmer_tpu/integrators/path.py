@@ -329,9 +329,17 @@ def li_path(
     si = scene_intersect(scene, ray_o, ray_d, jnp.where(alive, INF, -INF))
 
     # Static medium census: the volumetric branch compiles only when the
-    # scene carries a camera/exterior medium (media.py — VolPath,
-    # BASELINE config #5; the reference's Medium is a stub, media.rs:3-5).
-    has_med = scene.media is not None and scene.camera_medium >= 0
+    # scene carries a camera/exterior medium OR shape-attached interior
+    # media (media.py — VolPath, BASELINE config #5; the reference's
+    # Medium is a stub, media.rs:3-5).  With interface media, every lane
+    # carries its current medium id, updated at declared boundary
+    # crossings; material-less interface shapes pass rays straight
+    # through (consuming one depth iteration — a small deviation from
+    # pbrt, which does not count interface crossings as bounces).
+    iface_med = scene.media is not None and scene.has_interface_media
+    has_med = scene.media is not None and (
+        scene.camera_medium >= 0 or iface_med
+    )
 
     def _emit(carry, scattered=None):
         """Emission for the current hit/miss (MIS-weighted).
@@ -364,6 +372,9 @@ def li_path(
         the bounce — activation memory O(1) in max_depth, the
         scan-with-recompute form of path-replay backprop (SURVEY §7 P5).
         """
+        if iface_med:
+            cur_med = carry[-1]
+            carry = carry[:-1]
         (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
          any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
          si, s_state) = carry
@@ -376,7 +387,9 @@ def li_path(
             from shimmer_tpu.media import medium_sigma
 
             u_m, s_state = sampler.get_1d(s_state)
-            mid = jnp.full(n, scene.camera_medium, jnp.int32)
+            mid = cur_med if iface_med else jnp.full(
+                n, scene.camera_medium, jnp.int32
+            )
             sig_a, sig_s, g_m = medium_sigma(scene.media, mid, swl.lam)
             sig_t = sig_a + sig_s
             sig0 = sig_t[..., 0]
@@ -434,6 +447,10 @@ def li_path(
             scene, si, frame, swl, sampler, s_state, bsdf_ctx
         )
         sh_live = surf & sh_usable
+        if iface_med:
+            # Pre-surface path state, restored for pass-through lanes.
+            p_b_pre, spec_pre = p_b, specular
+            prevp_pre, prevns_pre = prev_p, prev_ns
 
         # --- BSDF sampling ---
         u2, s_state = sampler.get_2d(s_state)
@@ -523,6 +540,34 @@ def li_path(
             )
         else:
             alive = alive_surf
+
+        if iface_med:
+            # --- MediumInterface crossing (pbrt: medium changes at
+            # declared boundaries; material-less interface shapes pass
+            # rays straight through without scattering) ---
+            declared = si.med_in > -2
+            pass_thru = surf & declared & (si.material_id < 0)
+            dirn = -si.wo
+            pt3 = pass_thru[..., None]
+            ray_o = jnp.where(
+                pt3, offset_ray_origin(si.p, si.n, dirn), ray_o
+            )
+            ray_d = jnp.where(pt3, dirn, ray_d)
+            beta = jnp.where(pt3, beta_nee, beta)
+            p_b = jnp.where(pass_thru, p_b_pre, p_b)
+            specular = jnp.where(pass_thru, spec_pre, specular)
+            prev_p = jnp.where(pt3, prevp_pre, prev_p)
+            prev_ns = jnp.where(pt3, prevns_pre, prev_ns)
+            sh_live = sh_live & ~pass_thru
+            alive = alive | pass_thru
+            # The continuation direction decides the side: against the
+            # geometric normal = inside.
+            crossed = surf & declared & alive
+            entering = dot(ray_d, si.n) < 0.0
+            new_med = jnp.where(entering, si.med_in, si.med_out)
+            cur_med = jnp.where(
+                crossed, jnp.maximum(new_med, -1), cur_med
+            )
         rays_traced = rays_traced + jnp.sum(sh_live.astype(jnp.float32))
 
         # --- Russian roulette on beta * eta_scale (integrator.rs:877-891) ---
@@ -557,18 +602,27 @@ def li_path(
         l = l + jnp.where(
             (sh_live & ~occluded)[..., None], beta_nee * ld, 0.0
         )
-        return (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
-                any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
-                si, s_state)
+        out = (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
+               any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
+               si, s_state)
+        if iface_med:
+            out = out + (cur_med,)
+        return out
 
     carry = (l, beta, alive, specular, p_b, eta_scale, prev_p, prev_ns,
              any_non_specular, lam_terminated, rays_traced, ray_o, ray_d,
              si, s_state)
+    if iface_med:
+        carry = carry + (
+            jnp.full(n, scene.camera_medium, jnp.int32),
+        )
     for depth in range(max_depth):
         step_fn = functools.partial(_bounce, depth)
         if remat:
             step_fn = jax.checkpoint(step_fn)
         carry = step_fn(carry)
+    if iface_med:
+        carry = carry[:-1]
     carry = _emit(carry)  # emission for the final segment, no scattering
     l, rays_traced = carry[0], carry[10]
 

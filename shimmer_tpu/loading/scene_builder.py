@@ -316,6 +316,11 @@ class SceneBuilder:
     # --- materials / textures ---
 
     def material(self, name, params, loc):
+        if name in ("", "none", "interface"):
+            # Material-less interface shape (pbrt "interface"): rays pass
+            # straight through; only the MediumInterface acts.
+            self.gs.material = "none"
+            return
         self.materials.append(
             {"kind_name": name, "pd": self._merged_pd("material", params)}
         )
@@ -468,6 +473,8 @@ class SceneBuilder:
             "material": self.gs.material,
             "area_light": self.gs.area_light,
             "reverse_orientation": self.gs.reverse_orientation,
+            "medium_inside": self.gs.medium_inside,
+            "medium_outside": self.gs.medium_outside,
             "loc": str(loc),
         }
         if self.current_object is not None:
@@ -597,9 +604,11 @@ class SceneBuilder:
             pd = rec["pd"]
             ctm = rec["ctm"]
             o2r = r2w_np @ ctm
-            mat_idx = rec["material"] if isinstance(rec["material"], int) else -1
-            if mat_idx < 0:
-                mat_idx = 0
+            mat = rec["material"]
+            if mat == "none":
+                mat_idx = -1   # material-less interface shape
+            else:
+                mat_idx = mat if isinstance(mat, int) and mat >= 0 else 0
             area_light_id = -1
             if rec["area_light"] is not None:
                 al_name, al_pd = rec["area_light"]
@@ -693,9 +702,25 @@ class SceneBuilder:
                                 rec["area_light"], 1, tri_count + k
                             )
                         )
-                    mesh_dicts.append(mesh.as_scene_dict(mat_idx, ali))
+                    md_dict = mesh.as_scene_dict(mat_idx, ali)
                 else:
-                    mesh_dicts.append(mesh.as_scene_dict(mat_idx, -1))
+                    md_dict = mesh.as_scene_dict(mat_idx, -1)
+                # MediumInterface names → media-table indices
+                # (-2 = undeclared, -1 = vacuum side).
+                if (
+                    rec.get("medium_inside") is not None
+                    or rec.get("medium_outside") is not None
+                ):
+                    med_order = sorted(self.named_media)
+
+                    def med_id(nm):
+                        return med_order.index(nm) if nm in med_order else -1
+
+                    md_dict["medium_inside"] = med_id(rec.get("medium_inside"))
+                    md_dict["medium_outside"] = med_id(
+                        rec.get("medium_outside")
+                    )
+                mesh_dicts.append(md_dict)
                 tri_count += n_tris
             else:
                 import warnings

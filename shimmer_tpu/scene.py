@@ -40,6 +40,9 @@ class Scene:
     # Medium the camera sits in (index into media; -1 = vacuum).  Static:
     # the megakernel's medium branch compiles only when a medium exists.
     camera_medium: int = static_field(default=-1)
+    # Any shape declares a MediumInterface: per-lane medium tracking
+    # (megakernel li_path; the wavefront handles exterior media only).
+    has_interface_media: bool = static_field(default=False)
     material_kinds: tuple = static_field(default=())
     light_kinds: tuple = static_field(default=())
     n_lights: int = static_field(default=0)

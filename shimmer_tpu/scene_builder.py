@@ -210,6 +210,10 @@ def build_scene(
         instanced=instanced,
         media=media_table,
         camera_medium=int(camera_medium),
+        has_interface_media=bool(
+            media_table is not None
+            and getattr(triangles, "has_iface_media", False)
+        ),
         materials=mat_table,
         lights=light_data,
         light_sample_weights=jnp.asarray(weights[:n_l] if n_l else np.ones(0, np.float32)),

@@ -27,6 +27,10 @@ class SurfaceInteraction:
     dpdus: jnp.ndarray    # (..., 3) shading dpdu
     material_id: jnp.ndarray    # (...,) int32, -1 = none
     area_light_id: jnp.ndarray  # (...,) int32, -1 = none
+    # MediumInterface ids (media.py): -2 = shape declares no interface
+    # (crossing does not change the medium), -1 = vacuum side.
+    med_in: jnp.ndarray         # (...,) int32
+    med_out: jnp.ndarray        # (...,) int32
     # Texture-filtering footprint (computed from ray differentials).
     dudx: jnp.ndarray
     dvdx: jnp.ndarray
@@ -47,11 +51,16 @@ class SurfaceInteraction:
         dpdus=None,
         material_id=None,
         area_light_id=None,
+        med_in=None,
+        med_out=None,
     ) -> "SurfaceInteraction":
         batch = valid.shape
         z = jnp.zeros(batch, jnp.float32)
         ii = lambda v: (
             v if v is not None else jnp.full(batch, -1, jnp.int32)
+        )
+        im = lambda v: (
+            v if v is not None else jnp.full(batch, -2, jnp.int32)
         )
         return SurfaceInteraction(
             valid=valid,
@@ -66,6 +75,8 @@ class SurfaceInteraction:
             dpdus=dpdus if dpdus is not None else dpdu,
             material_id=ii(material_id),
             area_light_id=ii(area_light_id),
+            med_in=im(med_in),
+            med_out=im(med_out),
             dudx=z,
             dvdx=z,
             dudy=z,

@@ -69,6 +69,8 @@ _A_P0 = 19       # 19:28 p0,p1,p2 render-space vertices — the fast
 #                  interaction path reads ONE packed row per hit instead
 #                  of an index gather + 3 vertex-pool gathers (per-lane
 #                  gathers are the dominant non-kernel trace cost on TPU)
+_A_MI = 28       # MediumInterface inside id (-2 = undeclared, -1 = vacuum)
+_A_MO = 29       # MediumInterface outside id
 
 # Light-row columns (one (16,) f32 row per ORIGINAL-order triangle).
 _LIGHT_W = 16    # 0:9 p0,p1,p2 | 9 rev
@@ -102,6 +104,8 @@ class TriangleSceneData:
     traversal: str = static_field(default="auto")
     has_normals: bool = static_field(default=False)
     has_uv: bool = static_field(default=False)
+    # Any mesh declares a MediumInterface (attr cols _A_MI/_A_MO used).
+    has_iface_media: bool = static_field(default=False)
     # When True, the chosen triangle is re-intersected differentiably from
     # the vertex pool after the (detached) traversal, so gradients flow to
     # vertex positions.  Costs ~4 extra row gathers per query.
@@ -112,6 +116,7 @@ def _concat_meshes(meshes: list[dict]) -> dict:
     """Concatenate mesh dicts into one SoA pool (+ per-tri AABBs)."""
     ps, ns, uvs, idxs = [], [], [], []
     mats, ali, revs = [], [], []
+    med_in, med_out = [], []
     v_off = 0
     any_n = any("n" in m and m["n"] is not None for m in meshes)
     any_uv = any("uv" in m and m["uv"] is not None for m in meshes)
@@ -133,6 +138,8 @@ def _concat_meshes(meshes: list[dict]) -> dict:
         )
         idxs.append(idx + v_off)
         mats.append(np.full(t, m.get("material_id", -1), np.int32))
+        med_in.append(np.full(t, m.get("medium_inside", -2), np.int32))
+        med_out.append(np.full(t, m.get("medium_outside", -2), np.int32))
         a = m.get("area_light_id", -1)
         ali.append(
             np.asarray(a, np.int32)
@@ -150,6 +157,8 @@ def _concat_meshes(meshes: list[dict]) -> dict:
         "uv": np.concatenate(uvs),
         "indices": indices,
         "material_id": np.concatenate(mats),
+        "medium_in": np.concatenate(med_in),
+        "medium_out": np.concatenate(med_out),
         "area_light_id": np.concatenate(ali),
         "rev": np.concatenate(revs),
         "tri_p": tri_p,
@@ -177,6 +186,8 @@ def _attr_for(cat: dict, perm: np.ndarray) -> np.ndarray:
     attr[:, _A_REV] = cat["rev"][perm].astype(np.float32)
     attr[:, _A_ORIG] = perm.astype(np.float32)
     attr[:, _A_P0 : _A_P0 + 9] = cat["tri_p"][perm].reshape(t_n, 9)
+    attr[:, _A_MI] = cat["medium_in"][perm].astype(np.float32)
+    attr[:, _A_MO] = cat["medium_out"][perm].astype(np.float32)
     return attr
 
 
@@ -233,6 +244,9 @@ def build_triangle_scene(
         traversal=traversal,
         has_normals=any_n,
         has_uv=any_uv,
+        has_iface_media=bool(
+            (cat["medium_in"] > -2).any() or (cat["medium_out"] > -2).any()
+        ),
         differentiable_hits=differentiable_hits,
     )
 
@@ -738,6 +752,8 @@ def build_triangle_interaction(
         dpdus=dpdus,
         material_id=jnp.where(valid, material_id, -1),
         area_light_id=jnp.where(valid, area_light_id, -1),
+        med_in=jnp.where(valid, attr[..., _A_MI].astype(jnp.int32), -2),
+        med_out=jnp.where(valid, attr[..., _A_MO].astype(jnp.int32), -2),
     )
 
 
