@@ -51,7 +51,7 @@ from shimmer_tpu.integrators.path import (
 )
 from shimmer_tpu.materials.material import bsdf_pdf, bsdf_sample
 from shimmer_tpu.ops.ray import offset_ray_origin
-from shimmer_tpu.ops.vecmath import abs_dot
+from shimmer_tpu.ops.vecmath import abs_dot, dot
 from shimmer_tpu.samplers import SamplerState
 from shimmer_tpu.scene import Scene, scene_intersect_merged
 from shimmer_tpu.spectra.sampled import SampledWavelengths, ss_is_black
@@ -91,6 +91,7 @@ class _WaveState:
     pixel_xy: jnp.ndarray    # (N, 2) int32
     weight: jnp.ndarray      # (N,) filter weight
     item: jnp.ndarray        # (N,) int32 — pool item a lane is working on
+    cur_med: jnp.ndarray     # (N,) int32 — lane's current medium (-1 vac)
     # pool + per-item output + stats.  Finished paths scatter-SET their
     # converted rgb into out_rgb[item] — each pool item retires exactly
     # once, so the scatter has unique indices and no read-modify-write
@@ -194,11 +195,17 @@ def render_wave_wavefront(
             pixel_xy=m(px.astype(jnp.int32), st.pixel_xy),
             weight=m(jnp.where(valid, w, 0.0), st.weight),
             item=m(item.astype(jnp.int32), st.item),
+            cur_med=m(
+                jnp.full(n, scene.camera_medium, jnp.int32), st.cur_med
+            ),
             pool_next=st.pool_next
             + jnp.minimum(jnp.sum(free.astype(jnp.int32)), navail),
         )
 
-    has_med = scene.media is not None and scene.camera_medium >= 0
+    iface_med = scene.media is not None and scene.has_interface_media
+    has_med = scene.media is not None and (
+        scene.camera_medium >= 0 or iface_med
+    )
 
     def body(st: _WaveState) -> _WaveState:
         swl = SampledWavelengths(lam=st.lam, pdf=st.lam_pdf)
@@ -235,7 +242,9 @@ def render_wave_wavefront(
             from shimmer_tpu.media import medium_sigma
 
             u_m, s_state = sampler.get_1d(s_state)
-            mid = jnp.full(n, scene.camera_medium, jnp.int32)
+            mid = st.cur_med if iface_med else jnp.full(
+                n, scene.camera_medium, jnp.int32
+            )
             sig_a, sig_s, g_m = medium_sigma(scene.media, mid, swl.lam)
             sig_t = sig_a + sig_s
             sig0 = sig_t[..., 0]
@@ -375,6 +384,32 @@ def render_wave_wavefront(
                 med_shade & (pdf_ph > 0.0) & ~ss_is_black(beta)
             )
 
+        cur_med = st.cur_med
+        if iface_med:
+            # --- MediumInterface crossing + material-less pass-through
+            # (mirrors integrators/path.py) ---
+            declared = si.med_in > -2
+            pass_thru = surf_shade & declared & (si.material_id < 0)
+            dirn = -si.wo
+            pt3 = pass_thru[..., None]
+            ray_o = jnp.where(
+                pt3, offset_ray_origin(si.p, si.n, dirn), ray_o
+            )
+            ray_d = jnp.where(pt3, dirn, ray_d)
+            beta = jnp.where(pt3, beta_nee, beta)
+            p_b = jnp.where(pass_thru, st.p_b, p_b)
+            specular = jnp.where(pass_thru, st.specular, specular)
+            prev_p = jnp.where(pt3, st.prev_p, prev_p)
+            prev_ns = jnp.where(pt3, st.prev_ns, prev_ns)
+            pend_sh = pend_sh & ~pass_thru
+            alive = alive | pass_thru
+            crossed = surf_shade & declared & alive
+            entering = dot(ray_d, si.n) < 0.0
+            new_med = jnp.where(entering, si.med_in, si.med_out)
+            cur_med = jnp.where(
+                crossed, jnp.maximum(new_med, -1), cur_med
+            )
+
         # Russian roulette on beta * eta_scale (integrator.rs:877-891),
         # applied past the first bounce (per-lane depth here).
         u_rr, s_state = sampler.get_1d(s_state)
@@ -413,6 +448,7 @@ def render_wave_wavefront(
             ld=_where_merge(pend_sh, beta_nee * ld_new, st.ld),
             l=l, beta=beta, p_b=p_b, eta_scale=eta_scale,
             specular=specular, any_ns=any_ns, lam_term=lam_term,
+            cur_med=cur_med,
             prev_p=prev_p, prev_ns=prev_ns,
             s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
             s_dim=s_state.dim,
@@ -457,6 +493,7 @@ def render_wave_wavefront(
         pixel_xy=jnp.zeros((n, 2), jnp.int32),
         weight=jnp.zeros(n, jnp.float32),
         item=jnp.zeros(n, jnp.int32),
+        cur_med=jnp.full(n, scene.camera_medium, jnp.int32),
         pool_next=jnp.zeros((), jnp.int32),
         out_rgb=jnp.zeros((pool_total, 3), jnp.float32),
         out_w=jnp.zeros(pool_total, jnp.float32),

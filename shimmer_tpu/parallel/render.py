@@ -60,8 +60,6 @@ def make_sharded_wave_renderer(
     use_wavefront = (
         integrator == "path" and not opts if wavefront is None else wavefront
     )
-    if getattr(scene, "has_interface_media", False):
-        use_wavefront = False  # interface tracking is megakernel-only
     if use_wavefront:
         from shimmer_tpu.integrators.wavefront import render_wave_wavefront
 

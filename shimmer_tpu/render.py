@@ -392,9 +392,6 @@ def render(
         if wavefront is None
         else wavefront
     )
-    # Per-shape MediumInterface tracking lives in the megakernel only.
-    if getattr(scene, "has_interface_media", False):
-        use_wavefront = False
     if use_wavefront:
         wf_raw = make_wavefront_renderer(
             scene,

@@ -306,3 +306,63 @@ AttributeEnd
         np.testing.assert_allclose(
             got / clear, np.exp(-sigma_a * 1.0), rtol=0.05
         )
+
+    def test_wavefront_matches_megakernel_interfaces(self):
+        """The wavefront's per-lane medium tracking must reproduce the
+        megakernel image on an interface-media scene."""
+        from shimmer_tpu.loading.parser import parse_str
+        from shimmer_tpu.loading.scene_builder import SceneBuilder
+        from shimmer_tpu.render import (
+            make_wave_renderer,
+            make_wavefront_renderer,
+            pixel_blocks,
+        )
+
+        text = """
+MakeNamedMedium "ink" "string type" "homogeneous"
+  "rgb sigma_a" [0.4 0.2 0.1] "rgb sigma_s" [0.2 0.2 0.2]
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "independent" "integer pixelsamples" [4]
+Integrator "volpath" "integer maxdepth" [5]
+WorldBegin
+Material "diffuse" "rgb reflectance" [0.3 0.3 0.3]
+AttributeBegin
+MediumInterface "ink" ""
+Material "none"
+Shape "trianglemesh"
+  "point3 P" [-3 -3 0.5  -3 3 0.5  3 3 0.5  3 -3 0.5]
+  "integer indices" [0 1 2 0 2 3]
+Shape "trianglemesh"
+  "point3 P" [-3 -3 1.5  3 -3 1.5  3 3 1.5  -3 3 1.5]
+  "integer indices" [0 1 2 0 2 3]
+AttributeEnd
+AttributeBegin
+AreaLightSource "diffuse" "float scale" [8]
+Shape "trianglemesh"
+  "point3 P" [-6 -6 3  -6 6 3  6 6 3  6 -6 3]
+  "integer indices" [0 1 2 0 2 3]
+AttributeEnd
+"""
+        b = SceneBuilder()
+        parse_str(text, b)
+        job = b.create()
+        assert job.scene.has_interface_media
+        film, cam = job.film, job.camera
+        spp = 4
+        sampler = job.sampler
+        blocks, valids = pixel_blocks(film, 16 * 16)
+        idx = jnp.arange(spp, dtype=jnp.uint32)
+        mk = make_wave_renderer(job.scene, cam, film, sampler, "path", max_depth=5)
+        img_mk = np.asarray(
+            film.get_image(mk(film.init_state(), idx, blocks[0], valids[0]))
+        )
+        wf = make_wavefront_renderer(job.scene, cam, film, sampler, max_depth=5)
+        img_wf = np.asarray(
+            film.get_image(wf(film.init_state(), idx, blocks[0], valids[0]))
+        )
+        assert np.isfinite(img_wf).all()
+        assert img_wf.mean() > 1e-3
+        rel = np.abs(img_wf - img_mk).max() / max(img_mk.max(), 1e-6)
+        assert rel < 2e-3, f"wavefront interface-media diverges: rel {rel}"
