@@ -30,6 +30,12 @@ def main(argv=None):
         help="force the masked megakernel instead of the wavefront integrator",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="persist film state every --checkpoint-every waves and "
+        "auto-resume from PATH (bit-identical; SURVEY §5)",
+    )
+    ap.add_argument("--checkpoint-every", type=int, default=1)
     ap.add_argument("--quiet", "-q", action="store_true")
     ap.add_argument(
         "--stats", action="store_true",
@@ -81,6 +87,8 @@ def main(argv=None):
             disable_wavelength_jitter=job.disable_wavelength_jitter,
             wavefront=False if args.megakernel else None,
             collect_stats=args.stats,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
     import numpy as np
 

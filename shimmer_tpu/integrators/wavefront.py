@@ -92,6 +92,7 @@ class _WaveState:
     weight: jnp.ndarray      # (N,) filter weight
     item: jnp.ndarray        # (N,) int32 — pool item a lane is working on
     cur_med: jnp.ndarray     # (N,) int32 — lane's current medium (-1 vac)
+    sh_med: jnp.ndarray      # (N,) int32 — medium at the shadow origin
     # pool + per-item output + stats.  Finished paths scatter-SET their
     # converted rgb into out_rgb[item] — each pool item retires exactly
     # once, so the scatter has unique indices and no read-modify-write
@@ -198,6 +199,9 @@ def render_wave_wavefront(
             cur_med=m(
                 jnp.full(n, scene.camera_medium, jnp.int32), st.cur_med
             ),
+            sh_med=m(
+                jnp.full(n, scene.camera_medium, jnp.int32), st.sh_med
+            ),
             pool_next=st.pool_next
             + jnp.minimum(jnp.sum(free.astype(jnp.int32)), navail),
         )
@@ -226,47 +230,42 @@ def render_wave_wavefront(
             ],
             axis=0,
         )
-        si, occluded = scene_intersect_merged(scene, mo, md, mt, n)
+        if iface_med:
+            from shimmer_tpu.integrators.path import (
+                shadow_march_interfaces,
+            )
+            from shimmer_tpu.scene import scene_intersect_merged_full
+
+            si, si_sh = scene_intersect_merged_full(scene, mo, md, mt, n)
+            visible, tr_sh = shadow_march_interfaces(
+                scene, swl, st.sh_o, st.sh_d, st.sh_tmax,
+                st.pend_sh, st.sh_med, si0=si_sh,
+            )
+            shadow_add = jnp.where(visible[..., None], st.ld * tr_sh, 0.0)
+        else:
+            si, occluded = scene_intersect_merged(scene, mo, md, mt, n)
+            shadow_add = jnp.where(
+                (st.pend_sh & ~occluded)[..., None], st.ld, 0.0
+            )
 
         # --- 2. shadow resolution + emission + shading ---
-        l = st.l + jnp.where(
-            (st.pend_sh & ~occluded)[..., None], st.ld, 0.0
-        )
+        l = st.l + shadow_add
         alive = st.alive
         beta_st = st.beta
         scattered = None
         if has_med:
             # Homogeneous-medium distance sampling over the traced
-            # segment — identical estimator and draw order to
-            # integrators/path.py::li_path's VolPath branch.
-            from shimmer_tpu.media import medium_sigma
+            # segment — the SAME helper as li_path (in-loop and final
+            # segment), so estimator and draw order match exactly.
+            from shimmer_tpu.integrators.path import _medium_segment
 
-            u_m, s_state = sampler.get_1d(s_state)
             mid = st.cur_med if iface_med else jnp.full(
                 n, scene.camera_medium, jnp.int32
             )
-            sig_a, sig_s, g_m = medium_sigma(scene.media, mid, swl.lam)
-            sig_t = sig_a + sig_s
-            sig0 = sig_t[..., 0]
-            t_seg = jnp.where(si.valid, si.t, INF)
-            t_m = -jnp.log1p(
-                -jnp.minimum(u_m, 1.0 - 1e-7)
-            ) / jnp.maximum(sig0, 1e-20)
-            scattered = alive & (sig0 > 0.0) & (t_m < t_seg)
-            survive = alive & (sig0 > 0.0) & ~scattered
-            tr_m = jnp.exp(-sig_t * t_m[..., None])
-            pdf_m = jnp.maximum(sig0 * jnp.exp(-sig0 * t_m), 1e-30)
-            t_far = jnp.minimum(t_seg, 1e20)
-            tr_s = jnp.exp(-sig_t * t_far[..., None])
-            pdf_s = jnp.maximum(jnp.exp(-sig0 * t_far), 1e-30)
-            beta_st = jnp.where(
-                scattered[..., None],
-                beta_st * tr_m * sig_s / pdf_m[..., None],
-                jnp.where(
-                    survive[..., None],
-                    beta_st * tr_s / pdf_s[..., None],
-                    beta_st,
-                ),
+            s_state, beta_st, scattered, (sig_t, g_m, t_m) = (
+                _medium_segment(
+                    scene, sampler, swl, s_state, mid, si, alive, beta_st
+                )
             )
         st = dataclasses.replace(st, beta=beta_st)
 
@@ -372,7 +371,12 @@ def render_wave_wavefront(
             sh_d = jnp.where(scat3, sh_d_m, sh_d)
             sh_tmax = jnp.where(med_shade, sh_tmax_m, sh_tmax)
             pend_sh = pend_sh | (med_shade & usable_m)
-            ld_new = ld_new * jnp.exp(-sig_t * _length(sh_d)[..., None])
+            if not iface_med:
+                # Exact for a single exterior medium; interface scenes
+                # use the shadow march's per-sub-segment transmittance.
+                ld_new = ld_new * jnp.exp(
+                    -sig_t * _length(sh_d)[..., None]
+                )
             p_b = jnp.where(med_shade, pdf_ph, p_b)
             specular = jnp.where(med_shade, False, specular)
             any_ns = any_ns | med_shade
@@ -385,11 +389,12 @@ def render_wave_wavefront(
             )
 
         cur_med = st.cur_med
+        sh_med = st.sh_med
         if iface_med:
             # --- MediumInterface crossing + material-less pass-through
             # (mirrors integrators/path.py) ---
             declared = si.med_in > -2
-            pass_thru = surf_shade & declared & (si.material_id < 0)
+            pass_thru = surf_shade & (si.material_id < 0)
             dirn = -si.wo
             pt3 = pass_thru[..., None]
             ray_o = jnp.where(
@@ -403,6 +408,15 @@ def render_wave_wavefront(
             prev_ns = jnp.where(pt3, st.prev_ns, prev_ns)
             pend_sh = pend_sh & ~pass_thru
             alive = alive | pass_thru
+            # Medium at the new shadow-ray origin (see li_path).
+            sh_side = jnp.where(
+                dot(sh_d, si.n) < 0.0, si.med_in, si.med_out
+            )
+            sh_med = jnp.where(
+                surf_shade & declared,
+                jnp.maximum(sh_side, -1),
+                cur_med,
+            )
             crossed = surf_shade & declared & alive
             entering = dot(ray_d, si.n) < 0.0
             new_med = jnp.where(entering, si.med_in, si.med_out)
@@ -449,6 +463,7 @@ def render_wave_wavefront(
             l=l, beta=beta, p_b=p_b, eta_scale=eta_scale,
             specular=specular, any_ns=any_ns, lam_term=lam_term,
             cur_med=cur_med,
+            sh_med=jnp.where(pend_sh, sh_med, st.sh_med),
             prev_p=prev_p, prev_ns=prev_ns,
             s_ph=s_state.pixel_hash, s_si=s_state.sample_index,
             s_dim=s_state.dim,
@@ -494,6 +509,7 @@ def render_wave_wavefront(
         weight=jnp.zeros(n, jnp.float32),
         item=jnp.zeros(n, jnp.int32),
         cur_med=jnp.full(n, scene.camera_medium, jnp.int32),
+        sh_med=jnp.full(n, scene.camera_medium, jnp.int32),
         pool_next=jnp.zeros((), jnp.int32),
         out_rgb=jnp.zeros((pool_total, 3), jnp.float32),
         out_w=jnp.zeros(pool_total, jnp.float32),

@@ -8,9 +8,12 @@ camera=perspective, material=diffuse — scene.rs:1221-1303) and BasicScene's
 deferred creation passes (textures → lights → materials → aggregate →
 integrator, scene.rs:381-907).
 
-Instancing is flattened into the global BVH (TransformedPrimitive →
-pre-transformed copies), and every mesh area light becomes one light table
-row per triangle, exactly like the reference binds area lights per shape.
+ObjectInstance uses the two-level BVH (shapes/instanced.py: per-prototype
+BVHs + a top-level BVH over instance bounds, rays inverse-transformed
+into prototype space — the analog of the reference's
+TransformedPrimitive, primitive.rs:136-176), and every mesh area light
+becomes one light table row per triangle, exactly like the reference
+binds area lights per shape.
 """
 
 from __future__ import annotations
@@ -381,6 +384,22 @@ class SceneBuilder:
                 "clamp": tx.WRAP_CLAMP,
                 "black": tx.WRAP_BLACK,
             }.get(pd.get_one_string("wrap", "repeat"), tx.WRAP_REPEAT)
+            mapping = {
+                "uv": tx.MAP_UV,
+                "spherical": tx.MAP_SPHERICAL,
+                "cylindrical": tx.MAP_CYLINDRICAL,
+                "planar": tx.MAP_PLANAR,
+            }.get(pd.get_one_string("mapping", "uv"), tx.MAP_UV)
+            # texture_from_render = inverse of the CTM at declaration
+            # (texture.rs:838-1046: every non-UV mapping carries it).
+            w2t = np.linalg.inv(self.gs.ctm)
+            planar_vs = np.asarray(
+                [
+                    pd.get_one_vector3("v1", (1.0, 0.0, 0.0)),
+                    pd.get_one_vector3("v2", (0.0, 1.0, 0.0)),
+                ],
+                np.float32,
+            )
             tid = self.tex_builder.add_image(
                 data,
                 is_spectrum=is_spectrum,
@@ -389,8 +408,11 @@ class SceneBuilder:
                 filter_kind=filt,
                 scale=pd.get_one_float("scale", 1.0),
                 invert=pd.get_one_bool("invert", False),
+                mapping=mapping,
                 uv_scale=(pd.get_one_float("uscale", 1.0), pd.get_one_float("vscale", 1.0)),
                 uv_delta=(pd.get_one_float("udelta", 0.0), pd.get_one_float("vdelta", 0.0)),
+                world_to_tex=w2t,
+                planar_vs=planar_vs,
             )
         elif class_ == "scale":
             base = self._resolve_texture_param(pd, "tex", is_spectrum, default=1.0)
@@ -399,8 +421,20 @@ class SceneBuilder:
         elif class_ == "mix":
             t1 = self._resolve_texture_param(pd, "tex1", is_spectrum, default=0.0)
             t2 = self._resolve_texture_param(pd, "tex2", is_spectrum, default=1.0)
-            tid = self.tex_builder.add_mix(
-                t1, t2, pd.get_one_float("amount", 0.5)
+            amt_tn = pd.get_texture_name("amount")
+            if amt_tn is not None and amt_tn in self.float_textures:
+                tid = self.tex_builder.add_mix(
+                    t1, t2, amount_tex=self.float_textures[amt_tn]
+                )
+            else:
+                tid = self.tex_builder.add_mix(
+                    t1, t2, pd.get_one_float("amount", 0.5)
+                )
+        elif class_ == "directionmix":
+            t1 = self._resolve_texture_param(pd, "tex1", is_spectrum, default=0.0)
+            t2 = self._resolve_texture_param(pd, "tex2", is_spectrum, default=1.0)
+            tid = self.tex_builder.add_direction_mix(
+                t1, t2, pd.get_one_vector3("dir", (0.0, 1.0, 0.0))
             )
         else:
             raise ValueError(f"{loc}: unknown texture class {class_!r}")
@@ -455,6 +489,17 @@ class SceneBuilder:
         }
 
     def medium_interface(self, inside, outside, loc):
+        # pbrt: a MediumInterface name must refer to a MakeNamedMedium
+        # declared earlier; "" means vacuum.  An unknown name is an
+        # error, not a silent vacuum (r4 advisor fix).
+        from shimmer_tpu.loading.errors import ParameterError
+
+        for nm in (inside, outside):
+            if nm and nm not in self.named_media:
+                raise ParameterError(
+                    f"MediumInterface references undefined medium "
+                    f"{nm!r}", loc
+                )
         self.gs.medium_inside = inside or None
         self.gs.medium_outside = outside or None
 
@@ -1103,7 +1148,13 @@ class SceneBuilder:
             out["reflectance_coeffs"] = np.zeros(3, np.float32)
         elif kind_name == "mix":
             out["kind"] = mtl.MIX
-            out["mix_amount"] = pd.get_one_float("amount", 0.5)
+            amt_tn = pd.get_texture_name("amount")
+            if amt_tn is not None and amt_tn in self.float_textures:
+                # pbrt evaluates amount as a FloatTexture per
+                # intersection (material.rs:1312).
+                out["tex_mix_amount"] = self.float_textures[amt_tn]
+            else:
+                out["mix_amount"] = pd.get_one_float("amount", 0.5)
             m_names = [
                 str(v)
                 for v in (self.materials and [])

@@ -55,6 +55,7 @@ class MaterialTable:
     mix_amount: jnp.ndarray       # (M,)
     mix_m1: jnp.ndarray           # (M,) int32
     mix_m2: jnp.ndarray           # (M,) int32
+    tex_mix_amount: jnp.ndarray   # (M,) int32 — float texture (-1 = const)
     # texture-driven parameters (-1 = use the constant column)
     tex_reflectance: jnp.ndarray  # (M,) int32
     tex_uroughness: jnp.ndarray   # (M,) int32
@@ -71,6 +72,8 @@ class MaterialTable:
     # dielectric with a *spectral* (dense-row) eta: hitting it collapses the
     # path to the hero wavelength (dispersion, material.rs:609-620,729-733)
     dispersive: jnp.ndarray       # (M,) bool
+    # static: any Mix material with a textured amount?
+    has_textured_mix: bool = static_field(default=False)
     # static: any layered material has a scattering medium (albedo != 0)?
     layer_medium: bool = static_field(default=False)
     # static: any dispersive dielectric present (gates the swl update)?
@@ -107,6 +110,9 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         mix_amount=jnp.asarray(g("mix_amount", 0.5)),
         mix_m1=jnp.asarray(gi("mix_m1", 0)),
         mix_m2=jnp.asarray(gi("mix_m2", 0)),
+        tex_mix_amount=jnp.asarray(gi("tex_mix_amount", -1)),
+        has_textured_mix=bool(np.any(gi("tex_mix_amount", -1) >= 0))
+        if m else False,
         tex_reflectance=jnp.asarray(gi("tex_reflectance", -1)),
         tex_uroughness=jnp.asarray(gi("tex_uroughness", -1)),
         tex_vroughness=jnp.asarray(gi("tex_vroughness", -1)),
@@ -123,15 +129,24 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     )
 
 
-def resolve_mix(materials: MaterialTable, kinds_present: tuple, mat_id, u):
+def resolve_mix(
+    materials: MaterialTable, kinds_present: tuple, mat_id, u,
+    amt_override=None,
+):
     """Stochastically resolve Mix materials to a concrete material id
     (material.rs:1309-1330): pick m1 with probability ``amount``.  Two
-    resolution rounds handle a mix that itself points at a mix."""
+    resolution rounds handle a mix that itself points at a mix.
+
+    amt_override: optional per-lane amount (a FloatTexture evaluated at
+    the intersection, material.rs:1312) applied to the first round; a
+    nested mix falls back to its scalar column."""
     if MIX not in kinds_present:
         return mat_id
-    for _ in range(2):
+    for round_i in range(2):
         is_mix = small_gather(materials.kind, mat_id) == MIX
         amt = small_gather(materials.mix_amount, mat_id)
+        if round_i == 0 and amt_override is not None:
+            amt = amt_override
         chosen = jnp.where(
             u < amt, small_gather(materials.mix_m1, mat_id), small_gather(materials.mix_m2, mat_id)
         )

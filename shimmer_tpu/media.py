@@ -9,12 +9,12 @@ sampling, Henyey-Greenstein phase (materials/scattering.py), NEE from
 medium vertices with phase<->light MIS, and exponential transmittance on
 shadow segments.
 
-Scope (documented limitation): one homogeneous *exterior* medium — the
-medium the camera sits in (pbrt's camera medium, set by a MediumInterface
-in scope at the Camera directive).  Per-shape MediumInterface ids are
-parsed and stored but interior media only apply when the exterior medium
-is the one in effect along the segment; nested boundary tracking is
-future work.
+Scope: a homogeneous exterior (camera) medium plus per-shape
+MediumInterface boundaries with per-lane medium tracking — rays and NEE
+shadow segments cross declared, material-less interface shapes, switching
+the lane's medium per sub-segment (integrators/path.py: the interface
+block and shadow_march_interfaces).  Media are homogeneous only; spatial
+(grid) media are future work.
 """
 
 from __future__ import annotations

@@ -374,13 +374,18 @@ def render(
     disable_wavelength_jitter: bool = False,
     wavefront: bool | None = None,
     collect_stats: bool = False,
+    checkpoint_path=None,
+    checkpoint_every: int = 1,
 ):
     """Full render: wave × pixel-block loop on host, ONE jitted program.
 
     Returns the resolved (H, W, 3) image and the final FilmState.  The
     FilmState after any wave is a checkpoint: pass it back as
-    ``film_state`` to resume (the checkpoint/resume hook the reference
-    lacks, SURVEY.md §5).
+    ``film_state`` to resume, or give ``checkpoint_path`` to persist it
+    to disk every ``checkpoint_every`` waves and auto-resume from a
+    matching checkpoint on restart — bit-identical to an uninterrupted
+    run, since the counter-based sampler needs no RNG state
+    (utils/checkpoint.py; the aux subsystem SURVEY.md §5 prescribes).
 
     wavefront: None (default) uses the regenerating-wavefront integrator
     whenever the estimator is the full path integrator — it is the
@@ -434,6 +439,30 @@ def render(
     blocks, valids = pixel_blocks(film, pixel_block)
     n_blocks = blocks.shape[0]
     start = 0
+    ckpt = None
+    if checkpoint_path is not None:
+        from shimmer_tpu.utils.checkpoint import RenderCheckpointer
+
+        ckpt = RenderCheckpointer(
+            checkpoint_path,
+            fingerprint={
+                "resolution": tuple(int(r) for r in film.resolution),
+                "spp": int(spp),
+                "max_depth": int(max_depth),
+                "integrator": integrator,
+                "wavefront": bool(use_wavefront),
+                "seed": int(getattr(sampler, "seed", 0)),
+                "wave_spp": int(wave_spp),
+            },
+        )
+        loaded = ckpt.load()
+        if loaded is not None:
+            arrays, start = loaded
+            state = type(state)(
+                rgb_sum=jnp.asarray(arrays["rgb_sum"]),
+                weight_sum=jnp.asarray(arrays["weight_sum"]),
+                rgb_splat=jnp.asarray(arrays["rgb_splat"]),
+            )
     if collect_stats:
         from shimmer_tpu.utils import stats
 
@@ -450,6 +479,12 @@ def render(
             else:
                 state = wave_fn(state, idx, blocks[b], valids[b])
         start += n
+        if ckpt is not None and (
+            (start // max(wave_spp, 1)) % max(checkpoint_every, 1) == 0
+            or start >= spp
+        ):
+            jax.block_until_ready(state)
+            ckpt.save(state, start)
         if progress is not None:
             progress(start, spp)
     image = film.get_image(state)

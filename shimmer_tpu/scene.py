@@ -132,6 +132,24 @@ def scene_intersect_merged(scene: Scene, ray_o, ray_d, t_max, n_ext):
     return si, si_all.valid[n_ext:]
 
 
+def scene_intersect_merged_full(scene: Scene, ray_o, ray_d, t_max, n_ext):
+    """Merged trace where BOTH halves need closest-hit interactions
+    (interface-media scenes: the shadow march continues past
+    material-less boundary shapes, so shadow lanes need material/medium
+    ids, not just an occlusion bit).  Returns (si_ext, si_shadow)."""
+    si_all = scene_intersect(scene, ray_o, ray_d, t_max)
+
+    def _slice(lo, hi):
+        return type(si_all)(
+            **{
+                f.name: getattr(si_all, f.name)[lo:hi]
+                for f in dataclasses.fields(si_all)
+            }
+        )
+
+    return _slice(0, n_ext), _slice(n_ext, ray_o.shape[0])
+
+
 def _closer(a, b):
     take_b = b.valid & (~a.valid | (b.t < a.t))
     merged = {}

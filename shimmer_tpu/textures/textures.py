@@ -66,6 +66,7 @@ class TextureTable:
     const_value: jnp.ndarray   # (K, 4) constant value / coeffs+scale
     tex_a: jnp.ndarray         # (K,) int32 — operand texture (scale/mix)
     tex_b: jnp.ndarray         # (K,) int32
+    tex_c: jnp.ndarray         # (K,) int32 — mix amount texture (-1 = const)
     mix_amount: jnp.ndarray    # (K,)
     mix_dir: jnp.ndarray       # (K, 3)
     # image textures:
@@ -88,6 +89,8 @@ class TextureTable:
     level_sizes: jnp.ndarray    # (K, MAX_LEVELS, 2) int32 (w, h)
     kinds_present: tuple = static_field(default=())
     max_levels: int = static_field(default=1)
+    # static census: any Mix row with a textured amount?
+    has_amount_tex: bool = static_field(default=False)
 
 
 MAX_LEVELS = 16
@@ -107,6 +110,7 @@ class TextureBuilder:
             "const_value": np.zeros(4, np.float32),
             "tex_a": -1,
             "tex_b": -1,
+            "tex_c": -1,
             "mix_amount": 0.5,
             "mix_dir": np.array([0, 0, 1], np.float32),
             "level0_offset": 0,
@@ -145,11 +149,27 @@ class TextureBuilder:
         row["tex_b"] = scale_tex
         return i
 
-    def add_mix(self, tex1: int, tex2: int, amount_tex: int) -> int:
+    def add_mix(
+        self, tex1: int, tex2: int, amount: float = 0.5,
+        amount_tex: int = -1,
+    ) -> int:
+        """lerp(amount, tex1, tex2) — amount may itself be a (leaf)
+        float texture (texture.rs:226-260: pbrt's amount is a
+        FloatTexture; a constant stays in the scalar column)."""
         i, row = self._new_row(MIX)
         row["tex_a"] = tex1
         row["tex_b"] = tex2
-        row["mix_amount"] = amount_tex  # texture id for amount
+        row["mix_amount"] = amount
+        row["tex_c"] = amount_tex
+        return i
+
+    def add_direction_mix(self, tex1: int, tex2: int, dir) -> int:
+        """DirectionMix (texture.rs:263-300 / FloatDirectionMixTexture):
+        amt = dot(n, dir); result = tex1*(1-amt) + tex2*amt."""
+        i, row = self._new_row(DIRECTION_MIX)
+        row["tex_a"] = tex1
+        row["tex_b"] = tex2
+        row["mix_dir"] = np.asarray(dir, np.float32)
         return i
 
     def add_image(
@@ -166,6 +186,8 @@ class TextureBuilder:
         uv_delta=(0.0, 0.0),
         max_levels: int = MAX_LEVELS,
         spectrum_type: str = "albedo",
+        world_to_tex=None,
+        planar_vs=None,
     ) -> int:
         """Add an image texture.  texels: (H, W) float or (H, W, 3) linear
         rgb.  Spectrum textures are uplifted to per-texel sigmoid coeffs
@@ -182,6 +204,10 @@ class TextureBuilder:
         row["mapping"] = mapping
         row["uv_scale"] = np.asarray(uv_scale, np.float32)
         row["uv_delta"] = np.asarray(uv_delta, np.float32)
+        if world_to_tex is not None:
+            row["world_to_tex"] = np.asarray(world_to_tex, np.float32)
+        if planar_vs is not None:
+            row["planar_vs"] = np.asarray(planar_vs, np.float32)
 
         img = Image(np.asarray(texels, np.float32))
         pyramid = img.generate_pyramid()[:max_levels]
@@ -245,6 +271,7 @@ class TextureBuilder:
             const_value=jnp.asarray(g("const_value")),
             tex_a=jnp.asarray(g("tex_a", np.int32)),
             tex_b=jnp.asarray(g("tex_b", np.int32)),
+            tex_c=jnp.asarray(g("tex_c", np.int32)),
             mix_amount=jnp.asarray(
                 np.asarray([float(r["mix_amount"]) for r in self.rows], np.float32)
             ),
@@ -267,6 +294,7 @@ class TextureBuilder:
             level_sizes=jnp.asarray(g("level_sizes", np.int32)),
             kinds_present=kinds,
             max_levels=MAX_LEVELS,
+            has_amount_tex=any(int(r["tex_c"]) >= 0 for r in self.rows),
         )
 
 
@@ -299,8 +327,27 @@ def _apply_mapping(table: TextureTable, tex_id, si):
     vs = table.planar_vs[tex_id]
     u_pl = dot(p_t, vs[..., 0, :]) * su + du
     v_pl = dot(p_t, vs[..., 1, :]) * sv + dv
-    u = jnp.where(mapping == MAP_SPHERICAL, u_sph, jnp.where(mapping == MAP_PLANAR, u_pl, u))
-    v = jnp.where(mapping == MAP_SPHERICAL, v_sph, jnp.where(mapping == MAP_PLANAR, v_pl, v))
+    # Cylindrical (texture.rs:978-1010 / pbrt-v4 CylindricalMapping):
+    # u = (pi + atan2(y, x)) / 2pi wraps around the axis, v = z.
+    u_cyl = (
+        (jnp.pi + jnp.arctan2(p_t[..., 1], p_t[..., 0]))
+        / (2.0 * jnp.pi) * su + du
+    )
+    v_cyl = p_t[..., 2] * sv + dv
+    u = jnp.where(
+        mapping == MAP_SPHERICAL, u_sph,
+        jnp.where(
+            mapping == MAP_PLANAR, u_pl,
+            jnp.where(mapping == MAP_CYLINDRICAL, u_cyl, u),
+        ),
+    )
+    v = jnp.where(
+        mapping == MAP_SPHERICAL, v_sph,
+        jnp.where(
+            mapping == MAP_PLANAR, v_pl,
+            jnp.where(mapping == MAP_CYLINDRICAL, v_cyl, v),
+        ),
+    )
     return u, v, dudx, dvdx, dudy, dvdy
 
 
@@ -433,7 +480,8 @@ def eval_texture_raw(table: TextureTable, tex_id, si):
     if IMAGE in table.kinds_present:
         img = _eval_image(table, tex_id, si)
         out = jnp.where((kind == IMAGE)[..., None], img, out)
-    if SCALED in table.kinds_present or MIX in table.kinds_present:
+    combinators = {SCALED, MIX, DIRECTION_MIX} & set(table.kinds_present)
+    if combinators:
         a_id = jnp.maximum(table.tex_a[tex_id], 0)
         b_id = jnp.maximum(table.tex_b[tex_id], 0)
         a_const = jnp.broadcast_to(table.const_value[a_id], out.shape)
@@ -451,9 +499,35 @@ def eval_texture_raw(table: TextureTable, tex_id, si):
             a_val, b_val = a_const, b_const
         scaled = a_val * b_val[..., 0:1]
         out = jnp.where((kind == SCALED)[..., None], scaled, out)
-        amt = table.mix_amount[tex_id][..., None]
-        mixed = lerp(amt, a_val, b_val)
-        out = jnp.where((kind == MIX)[..., None], mixed, out)
+        if MIX in table.kinds_present:
+            amt = jnp.broadcast_to(
+                table.mix_amount[tex_id], out.shape[:-1]
+            )
+            c_tid = table.tex_c[tex_id]
+            if table.has_amount_tex:
+                # Textured mix amount (texture.rs:226-260: amount is a
+                # FloatTexture); the amount operand must be a leaf.
+                c_id = jnp.maximum(c_tid, 0)
+                c_val = jnp.broadcast_to(
+                    table.const_value[c_id][..., 0], out.shape[:-1]
+                )
+                if IMAGE in table.kinds_present:
+                    c_val = jnp.where(
+                        table.kind[c_id] == IMAGE,
+                        _eval_image(table, c_id, si)[..., 0],
+                        c_val,
+                    )
+                amt = jnp.where(c_tid >= 0, c_val, amt)
+            mixed = lerp(amt[..., None], a_val, b_val)
+            out = jnp.where((kind == MIX)[..., None], mixed, out)
+        if DIRECTION_MIX in table.kinds_present:
+            # amt = dot(n, dir); t1*(1-amt) + t2*amt
+            # (texture.rs:263-300,SpectrumDirectionMixTexture likewise).
+            d_amt = dot(
+                si.n, jnp.broadcast_to(table.mix_dir[tex_id], si.n.shape)
+            )
+            dmixed = lerp(d_amt[..., None], a_val, b_val)
+            out = jnp.where((kind == DIRECTION_MIX)[..., None], dmixed, out)
     scale = table.scale[tex_id][..., None]
     out = out * scale
     inv = table.invert[tex_id]

@@ -307,6 +307,89 @@ AttributeEnd
             got / clear, np.exp(-sigma_a * 1.0), rtol=0.05
         )
 
+    def test_direct_lighting_across_interface(self):
+        """NEE across a declared medium boundary: a point light above an
+        absorbing fog slab must light a floor below it, attenuated by
+        Beer-Lambert through the slab — interface shapes are NOT
+        occluders (pbrt SampleLd loops through null-material hits; r4
+        advisor fix: the any-hit used to zero this path entirely)."""
+        from shimmer_tpu.loading.parser import parse_str
+        from shimmer_tpu.loading.scene_builder import SceneBuilder
+
+        sigma_a = 0.8
+        text = f"""
+MakeNamedMedium "fog" "string type" "homogeneous"
+  "rgb sigma_a" [{sigma_a} {sigma_a} {sigma_a}] "rgb sigma_s" [0 0 0]
+Camera "perspective" "float fov" [30]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "independent" "integer pixelsamples" [2]
+Integrator "volpath" "integer maxdepth" [1]
+WorldBegin
+LightSource "point" "point3 from" [0 0 5] "float scale" [30]
+Material "diffuse" "rgb reflectance" [0.5 0.5 0.5]
+Shape "trianglemesh"
+  "point3 P" [-5 -5 0  5 -5 0  5 5 0  -5 5 0]
+  "integer indices" [0 1 2 0 2 3]
+AttributeBegin
+MediumInterface "fog" ""
+Material "none"
+Shape "trianglemesh"
+  "point3 P" [-5 -5 1  -5 5 1  5 5 1  5 -5 1]
+  "integer indices" [0 1 2 0 2 3]
+Shape "trianglemesh"
+  "point3 P" [-5 -5 2  5 -5 2  5 5 2  -5 5 2]
+  "integer indices" [0 1 2 0 2 3]
+AttributeEnd
+"""
+        # Camera rays fired from z=0.5 straight down (below the slab):
+        # only the shadow segment crosses the fog, once, near-vertically.
+        n = 256
+        rng = np.random.default_rng(7)
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.3, 0.3, n)
+        o[:, 1] = rng.uniform(-0.3, 0.3, n)
+        o[:, 2] = 0.5
+        d = np.broadcast_to(np.array([0, 0, -1.0], np.float32), (n, 3))
+
+        b = SceneBuilder()
+        parse_str(text, b)
+        job = b.create()
+        assert job.scene.has_interface_media
+        got = _li_batch(
+            job.scene, jnp.asarray(o), jnp.asarray(d), n_samples=2,
+            max_depth=1,
+        ).mean()
+        assert got > 0.0, "interface shapes must not occlude NEE"
+
+        start = text.index("AttributeBegin")
+        end = text.index("AttributeEnd") + len("AttributeEnd")
+        b2 = SceneBuilder()
+        parse_str(text[:start] + text[end:], b2)
+        clear = _li_batch(
+            b2.create().scene, jnp.asarray(o), jnp.asarray(d),
+            n_samples=2, max_depth=1,
+        ).mean()
+        # slab crossing length ~1.0 (shadow directions near-vertical)
+        np.testing.assert_allclose(
+            got / clear, np.exp(-sigma_a), rtol=0.03
+        )
+
+    def test_undefined_medium_name_errors(self):
+        """MediumInterface with an undeclared medium name raises a typed
+        ParameterError instead of silently mapping to vacuum."""
+        from shimmer_tpu.loading.errors import ParameterError
+        from shimmer_tpu.loading.parser import parse_str
+        from shimmer_tpu.loading.scene_builder import SceneBuilder
+
+        text = """
+Camera "perspective"
+Film "rgb" "integer xresolution" [4] "integer yresolution" [4]
+WorldBegin
+MediumInterface "nosuch" ""
+"""
+        with pytest.raises(ParameterError):
+            parse_str(text, SceneBuilder())
+
     def test_wavefront_matches_megakernel_interfaces(self):
         """The wavefront's per-lane medium tracking must reproduce the
         megakernel image on an interface-media scene."""

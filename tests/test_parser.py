@@ -487,3 +487,79 @@ class TestTypedErrors:
         )
         job = b.create()
         assert tuple(job.scene.material_kinds) == (mtl.DIFFUSE,)
+
+
+class TestTextureDirectives:
+    def test_directionmix_texture_parses(self):
+        """directionmix (texture.rs:263-300) parses and renders: the
+        mix_dir lands in the texture table."""
+        from shimmer_tpu.textures import textures as tx
+
+        b = SceneBuilder()
+        parse_str(
+            'Camera "perspective"\n'
+            'Film "rgb" "integer xresolution" [4] "integer yresolution" [4]\n'
+            'Sampler "independent" "integer pixelsamples" [1]\n'
+            'WorldBegin\n'
+            'Texture "dm" "spectrum" "directionmix"\n'
+            '  "rgb tex1" [1 0 0] "rgb tex2" [0 0 1]\n'
+            '  "vector3 dir" [0 0 1]\n'
+            'Material "diffuse" "texture reflectance" "dm"\n'
+            'Shape "sphere" "float radius" [1]\n', b
+        )
+        job = b.create()
+        table = job.scene.textures
+        assert tx.DIRECTION_MIX in table.kinds_present
+        import numpy as np
+
+        kinds = np.asarray(table.kind)
+        row = int(np.nonzero(kinds == tx.DIRECTION_MIX)[0][0])
+        np.testing.assert_allclose(
+            np.asarray(table.mix_dir)[row], [0.0, 0.0, 1.0]
+        )
+
+    def test_mix_material_textured_amount(self):
+        """Material "mix" with a texture amount (material.rs:1312) sets
+        the per-material texture column, not the 0.5 fallback."""
+        b = SceneBuilder()
+        parse_str(
+            'Camera "perspective"\n'
+            'Film "rgb" "integer xresolution" [4] "integer yresolution" [4]\n'
+            'Sampler "independent" "integer pixelsamples" [1]\n'
+            'WorldBegin\n'
+            'Texture "amt" "float" "constant" "float value" [0.25]\n'
+            'MakeNamedMaterial "ma" "string type" "diffuse"\n'
+            '  "rgb reflectance" [0.8 0 0]\n'
+            'MakeNamedMaterial "mb" "string type" "diffuse"\n'
+            '  "rgb reflectance" [0 0 0.8]\n'
+            'Material "mix" "string materials" ["ma" "mb"]\n'
+            '  "texture amount" "amt"\n'
+            'Shape "sphere" "float radius" [1]\n', b
+        )
+        job = b.create()
+        assert job.scene.materials.has_textured_mix
+        import numpy as np
+
+        assert int(np.asarray(job.scene.materials.tex_mix_amount).max()) >= 0
+
+    def test_imagemap_mapping_param(self, tmp_path):
+        """imagemap "string mapping" selects non-UV mappings
+        (texture.rs:838-1046)."""
+        from shimmer_tpu.film.image import Image
+        from shimmer_tpu.textures import textures as tx
+
+        img = Image(np.ones((4, 4, 3), np.float32) * 0.5)
+        path = tmp_path / "t.pfm"
+        img.write(path)
+        b = SceneBuilder()
+        parse_str(
+            'Camera "perspective"\n'
+            'Film "rgb" "integer xresolution" [4] "integer yresolution" [4]\n'
+            'WorldBegin\n'
+            f'Texture "cyl" "float" "imagemap" "string filename" "{path}"\n'
+            '  "string mapping" "cylindrical"\n'
+            'Material "diffuse"\n'
+            'Shape "sphere" "float radius" [1]\n', b
+        )
+        table = b.tex_builder.build()
+        assert int(np.asarray(table.mapping).max()) == tx.MAP_CYLINDRICAL

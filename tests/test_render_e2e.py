@@ -252,3 +252,101 @@ def test_stats_registry_collects():
     rep = stats.report()
     assert "Rays traced" in rep and "Statistics:" in rep
     stats.clear()
+
+
+class TestCheckpointResume:
+    def test_kill_and_resume_bit_identical(self, tmp_path):
+        """Interrupting a checkpointed render and resuming from disk
+        produces a bit-identical image (SURVEY §5 aux subsystem; the
+        counter-based sampler needs no RNG state)."""
+        cam, film, cs = _make_camera_film(res=32)
+        scene = _furnace_scene([0.5, 0.5, 0.5], cam)
+        sampler = IndependentSampler(4, seed=0)
+        ck = tmp_path / "render.ckpt.npz"
+        common = dict(
+            integrator="path", spp=4, max_depth=3, wave_spp=1,
+            checkpoint_path=ck,
+        )
+        # Uninterrupted reference run (no checkpoint involvement).
+        ref, _ = render(scene, cam, film, sampler, integrator="path",
+                        spp=4, max_depth=3, wave_spp=1)
+        # "Killed" run: only 2 of 4 spp (simulates an interrupt after
+        # two waves; the checkpoint file holds the cursor at 2).
+        from shimmer_tpu.utils.checkpoint import RenderCheckpointer
+
+        img_partial, st = render(
+            scene, cam, film, sampler, integrator="path", spp=2,
+            max_depth=3, wave_spp=1,
+        )
+        # Write the partial state under the FULL render's fingerprint,
+        # exactly what the interrupted full render would have written.
+        RenderCheckpointer(
+            ck,
+            fingerprint={
+                "resolution": tuple(int(r) for r in film.resolution),
+                "spp": 4, "max_depth": 3, "integrator": "path",
+                "wavefront": True, "seed": 0, "wave_spp": 1,
+            },
+        ).save(st, 2)
+        # Resume: render() must pick up at spp=2 and finish 2 more.
+        resumed, _ = render(scene, cam, film, sampler, **common)
+        np.testing.assert_array_equal(np.asarray(resumed), np.asarray(ref))
+
+    def test_stale_checkpoint_ignored(self, tmp_path):
+        cam, film, cs = _make_camera_film(res=16)
+        scene = _furnace_scene([0.5, 0.5, 0.5], cam)
+        sampler = IndependentSampler(2, seed=0)
+        ck = tmp_path / "r.ckpt.npz"
+        from shimmer_tpu.utils.checkpoint import RenderCheckpointer
+
+        RenderCheckpointer(ck, fingerprint={"spp": 99}).save(
+            film.init_state(), 1
+        )
+        with pytest.warns(UserWarning, match="fingerprint mismatch"):
+            img, _ = render(
+                scene, cam, film, sampler, integrator="path", spp=2,
+                max_depth=2, wave_spp=1, checkpoint_path=ck,
+            )
+        assert np.isfinite(np.asarray(img)).all()
+
+
+class TestCoatedFurnace:
+    def test_coated_diffuse_white_furnace_bound(self):
+        """Analytic coated-diffuse furnace gate (r4 verdict ask): a
+        lossless dielectric coat over a WHITE diffuse base in a uniform
+        photometric environment must resolve near 1.  Conditional on the
+        walk exiting, the estimator conserves energy exactly (measured
+        0.999); the only losses are the pbrt-spec walk truncation at
+        LAYER_MAX_DEPTH=10 (~7%, bxdf.rs:1282 semantics) — so the gate
+        is [0.85, 1.02].  A smooth, optically-thin coat isolates those
+        semantics from single-scatter GGX and Tr-absorption losses."""
+        cam, film, cs = _make_camera_film(res=24)
+        scene = build_scene(
+            spheres=[{"radius": 1.0, "material_id": 0}],
+            materials=[
+                {
+                    "kind": mtl.COATED_DIFFUSE,
+                    "reflectance": [1.0, 1.0, 1.0],
+                    "uroughness": 0.0,
+                    "vroughness": 0.0,
+                    "eta_float": 1.5,
+                    "thickness": 1e-4,
+                }
+            ],
+            lights=[
+                {
+                    "kind": lt.UNIFORM_INFINITE,
+                    "spectrum": cs.illuminant,
+                    "photometric": True,
+                }
+            ],
+            render_from_world=cam.camera_transform.render_from_world(),
+        )
+        img, _ = render(
+            scene, cam, film, IndependentSampler(64, seed=0), "path",
+            spp=64, max_depth=8, wave_spp=32,
+        )
+        a = np.asarray(img)
+        assert np.isfinite(a).all()
+        center = a[10:14, 10:14].mean()
+        assert 0.85 < center < 1.02, center

@@ -182,3 +182,57 @@ class TestPiecewiseConstant:
         np.testing.assert_allclose(
             np.asarray(pdf), np.asarray(dist.pdf_at(jnp.asarray(p))), rtol=1e-4
         )
+
+
+class TestZSobolEquidistribution:
+    def test_per_pixel_stratification(self):
+        """Analytic sampler guard (r4 advisor ask): Owen-scrambled
+        base-2 Sobol' points must stay (0,m,1)-stratified — each of the
+        spp equal bins of [0,1) hit exactly once per pixel, for every
+        dimension.  This is the regression gate the self-referential
+        goldens cannot provide (the fast permutation map
+        ((h>>16)*24)>>16 feeds scrambling only; stratification must
+        survive it)."""
+        from shimmer_tpu.samplers import ZSobolSampler
+
+        spp = 16
+        s = ZSobolSampler(spp, (64, 64), seed=3)
+        px = jnp.asarray(
+            np.stack(
+                np.meshgrid(np.arange(8), np.arange(8), indexing="ij"), -1
+            ).reshape(-1, 2)
+        )
+        for dim_skip in range(4):
+            vals = []
+            for si in range(spp):
+                st = s.start_pixel_sample(px, jnp.uint32(si))
+                for _ in range(dim_skip):
+                    _, st = s.get_1d(st)
+                u, st = s.get_1d(st)
+                vals.append(np.asarray(u))
+            v = np.stack(vals)  # (spp, n_pixels)
+            assert ((v >= 0) & (v < 1)).all()
+            bins = np.floor(v * spp).astype(int)
+            for i in range(v.shape[1]):
+                assert len(set(bins[:, i])) == spp, (
+                    f"dim {dim_skip}, pixel {i}: strata collision"
+                )
+
+    def test_pixel_2d_stratified(self):
+        """The pixel-jitter 2d dimension must be (0,2)-stratified in the
+        2^2 x 2^2 grid at spp=16."""
+        from shimmer_tpu.samplers import ZSobolSampler
+
+        spp = 16
+        s = ZSobolSampler(spp, (64, 64), seed=1)
+        px = jnp.asarray(np.array([[3, 5], [10, 2], [7, 7]], np.int64))
+        us = []
+        for si in range(spp):
+            st = s.start_pixel_sample(px, jnp.uint32(si))
+            u, st = s.get_pixel_2d(st)
+            us.append(np.asarray(u))
+        u = np.stack(us)  # (spp, 3, 2)
+        cells = np.floor(u * 4.0).astype(int)
+        flat = cells[..., 0] * 4 + cells[..., 1]
+        for i in range(u.shape[1]):
+            assert len(set(flat[:, i])) == spp, f"pixel {i} 2d strata"

@@ -115,6 +115,82 @@ class TestTextureTable:
         v = tx.eval_float_texture(table, jnp.full(1, ts, jnp.int32), si)
         assert np.isclose(float(v[0]), 0.4)
 
+    def test_mix_textured_amount(self):
+        """Mix with a FloatTexture amount (texture.rs:226-260): the
+        amount image drives the lerp per-evaluation."""
+        img = np.zeros((8, 8), np.float32)
+        img[:, 4:] = 1.0  # left half amt=0, right half amt=1
+        b = tx.TextureBuilder()
+        ta = b.add_constant_float(2.0)
+        tb = b.add_constant_float(6.0)
+        tc = b.add_image(img, is_spectrum=False, filter_kind=tx.FILTER_POINT)
+        tm = b.add_mix(ta, tb, amount_tex=tc)
+        table = b.build()
+        assert table.has_amount_tex
+        si = _si_at([[0.1, 0.5], [0.9, 0.5]])
+        v = np.asarray(
+            tx.eval_float_texture(table, jnp.full(2, tm, jnp.int32), si)
+        )
+        np.testing.assert_allclose(v, [2.0, 6.0], atol=1e-5)
+
+    def test_direction_mix(self):
+        """DirectionMix (texture.rs:263-300): amt = dot(n, dir),
+        result = tex1*(1-amt) + tex2*amt."""
+        import dataclasses
+
+        b = tx.TextureBuilder()
+        ta = b.add_constant_float(2.0)
+        tb = b.add_constant_float(4.0)
+        td = b.add_direction_mix(ta, tb, (0.0, 0.0, 1.0))
+        table = b.build()
+        si = _si_at([[0.5, 0.5], [0.5, 0.5], [0.5, 0.5]])
+        si = dataclasses.replace(
+            si,
+            n=jnp.asarray(
+                [[0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]]
+            ),
+        )
+        v = np.asarray(
+            tx.eval_float_texture(table, jnp.full(3, td, jnp.int32), si)
+        )
+        # amt = 1 → tex2; amt = -1 → extrapolates (pbrt does not clamp);
+        # amt = 0 → tex1.
+        np.testing.assert_allclose(v, [4.0, 0.0, 2.0], atol=1e-5)
+
+    def test_cylindrical_mapping(self):
+        """Cylindrical mapping (texture.rs:978-1010): fetch through the
+        mapping at p=(cos phi, sin phi, z) matches a direct UV fetch at
+        ((pi + phi)/2pi, z)."""
+        rng = np.random.default_rng(3)
+        img = rng.uniform(size=(16, 16)).astype(np.float32)
+        b = tx.TextureBuilder()
+        t_cyl = b.add_image(
+            img, is_spectrum=False, filter_kind=tx.FILTER_POINT,
+            mapping=tx.MAP_CYLINDRICAL,
+        )
+        t_uv = b.add_image(
+            img, is_spectrum=False, filter_kind=tx.FILTER_POINT,
+        )
+        table = b.build()
+        import dataclasses
+
+        phi = np.array([0.0, 1.2, -2.0], np.float32)
+        z = np.array([0.1, 0.4, 0.8], np.float32)
+        p = np.stack([np.cos(phi), np.sin(phi), z], axis=-1)
+        si_c = dataclasses.replace(
+            _si_at(np.zeros((3, 2), np.float32)), p=jnp.asarray(p)
+        )
+        uv = np.stack([(np.pi + phi) / (2 * np.pi), z], axis=-1)
+        got = np.asarray(
+            tx.eval_float_texture(table, jnp.full(3, t_cyl, jnp.int32), si_c)
+        )
+        want = np.asarray(
+            tx.eval_float_texture(
+                table, jnp.full(3, t_uv, jnp.int32), _si_at(uv)
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
 
 class TestTexturedRender:
     def test_checker_texture_visible(self):
@@ -260,3 +336,110 @@ class TestEnvLight:
         # pdf integrates to 1 over the sphere (MC: E[1/pdf]/(4π) = 1)
         est = (1.0 / np.asarray(pdf)[m]).mean() / (4.0 * np.pi)
         assert abs(est - 1.0) < 0.05, est
+
+
+class TestEWAOracle:
+    def test_ewa_checker_matches_supersampled_mean(self):
+        """EWA anti-aliasing oracle: over a footprint spanning many
+        checker cells, the EWA-filtered fetch must approach the
+        supersampled (point-fetch average) reference — no independent
+        check covered filtering before (r4 verdict ask)."""
+        n_tex = 64
+        yy, xx = np.meshgrid(np.arange(n_tex), np.arange(n_tex), indexing="ij")
+        checker = ((xx // 2 + yy // 2) % 2).astype(np.float32)
+        b = tx.TextureBuilder()
+        t_ewa = b.add_image(
+            checker, is_spectrum=False, filter_kind=tx.FILTER_EWA
+        )
+        t_pt = b.add_image(
+            checker, is_spectrum=False, filter_kind=tx.FILTER_POINT
+        )
+        table = b.build()
+        import dataclasses
+
+        # footprint ~12 texels wide: EWA should average ~36 cells
+        centers = np.array([[0.33, 0.41], [0.7, 0.2], [0.52, 0.77]], np.float32)
+        foot = 12.0 / n_tex
+        si = _si_at(centers)
+        si = dataclasses.replace(
+            si,
+            dudx=jnp.full(3, foot), dvdx=jnp.zeros(3),
+            dudy=jnp.zeros(3), dvdy=jnp.full(3, foot),
+        )
+        got = np.asarray(
+            tx.eval_float_texture(table, jnp.full(3, t_ewa, jnp.int32), si)
+        )
+        # supersampled reference: average point fetches over the ellipse
+        rng = np.random.default_rng(0)
+        for i, c in enumerate(centers):
+            offs = rng.uniform(-0.5, 0.5, (512, 2)).astype(np.float32) * foot
+            uv = c[None, :] + offs
+            ref = np.asarray(
+                tx.eval_float_texture(
+                    table, jnp.full(len(uv), t_pt, jnp.int32), _si_at(uv)
+                )
+            ).mean()
+            assert abs(got[i] - ref) < 0.12, (got[i], ref)
+
+
+class TestEnvMIS:
+    def test_env_nee_vs_bsdf_only_consistency(self):
+        """Image-infinite light end-to-end MIS gate: the production path
+        integrator (NEE + MIS against the env importance map) and a
+        BSDF-only estimator must agree in the mean (r4 verdict ask — no
+        oracle covered env MIS end-to-end)."""
+        from shimmer_tpu.cameras import CameraTransform, PerspectiveCamera
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.film.filters import BoxFilter
+        from shimmer_tpu.film.film import PixelSensor, RgbFilm
+        from shimmer_tpu.lights import lights as lt
+        from shimmer_tpu.lights.env import build_env_light
+        from shimmer_tpu.materials import material as mtl
+        from shimmer_tpu.ops.transform import Transform
+        from shimmer_tpu.render import render
+        from shimmer_tpu.samplers import IndependentSampler
+        from shimmer_tpu.scene_builder import build_scene
+        from shimmer_tpu.spectra.spectrum import ConstantSpectrum
+
+        cs = get_named_color_space("srgb")
+        rng = np.random.default_rng(5)
+        # strongly non-uniform sky so NEE importance sampling matters
+        env_img = rng.uniform(0.02, 0.3, (32, 32, 3)).astype(np.float32)
+        env_img[4:10, 4:10] = 8.0
+        res = 16
+        ct = CameraTransform(
+            Transform.look_at(
+                jnp.array([0.0, 0.0, -4.0]), jnp.zeros(3),
+                jnp.array([0.0, 1.0, 0.0]),
+            )
+        )
+        cam = PerspectiveCamera(ct, (res, res), fov=45.0)
+        film = RgbFilm((res, res), BoxFilter(), PixelSensor(cs), cs)
+        env = build_env_light(env_img, cs, scene_radius=50.0)
+
+        def make():
+            return build_scene(
+                spheres=[{"radius": 1.0, "material_id": 0}],
+                materials=[
+                    {"kind": mtl.DIFFUSE, "reflectance": [0.8, 0.8, 0.8]}
+                ],
+                lights=[
+                    {"kind": lt.IMAGE_INFINITE, "spectrum": ConstantSpectrum(1.0)}
+                ],
+                env=env,
+                render_from_world=cam.camera_transform.render_from_world(),
+            )
+
+        spp = 256
+        img_mis, _ = render(
+            make(), cam, film, IndependentSampler(spp, seed=1), "path",
+            spp=spp, max_depth=2, wave_spp=64,
+        )
+        img_bsdf, _ = render(
+            make(), cam, film, IndependentSampler(spp, seed=2), "simplepath",
+            spp=spp, max_depth=2, wave_spp=64,
+            integrator_options={"sample_lights": False},
+        )
+        a, c = np.asarray(img_mis), np.asarray(img_bsdf)
+        assert np.isfinite(a).all() and np.isfinite(c).all()
+        np.testing.assert_allclose(a.mean(), c.mean(), rtol=0.08)
