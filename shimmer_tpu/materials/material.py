@@ -301,3 +301,58 @@ def bsdf_pdf(
             tex=tex, spectra_table=spectra_table,
         )
     return jnp.where(jnp.abs(wo[..., 2]) < 1e-9, 0.0, pdf)
+
+
+def bsdf_rho_hd(
+    materials, kinds_present, mat_id, frame, ns, wo_render, swl,
+    uc, u2, **ctx,
+):
+    """Hemispherical-directional reflectance rho_hd (bxdf.rs:49-71,
+    pbrt-v4 eq. 4.12): MC estimate over the provided sample arrays.
+
+    uc: (S, ...) 1d samples; u2: (S, ..., 2).  Returns (..., 4)."""
+    s_count = uc.shape[0]
+    r = jnp.zeros(wo_render.shape[:-1] + (4,), jnp.float32)
+    for i in range(s_count):
+        bs = bsdf_sample(
+            materials, kinds_present, mat_id, frame, ns, wo_render,
+            u2[i], uc[i], swl, **ctx,
+        )
+        cos_i = jnp.abs(frame.to_local(bs.wi)[..., 2])
+        ok = bs.valid & (bs.pdf > 0.0)
+        r = r + jnp.where(
+            ok[..., None],
+            bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-20))[..., None],
+            0.0,
+        )
+    return r / float(s_count)
+
+
+def bsdf_rho_hh(
+    materials, kinds_present, mat_id, frame, ns, swl, u1, uc, u2, **ctx,
+):
+    """Hemispherical-hemispherical reflectance rho_hh (bxdf.rs:73-93,
+    pbrt-v4 eq. 4.13): wo drawn uniformly from the hemisphere around the
+    shading normal, then the rho_hd inner estimate.
+
+    u1: (S, ..., 2) hemisphere draws; uc/u2 as in bsdf_rho_hd."""
+    from shimmer_tpu.ops.sampling import (
+        UNIFORM_HEMISPHERE_PDF,
+        sample_uniform_hemisphere,
+    )
+
+    s_count = uc.shape[0]
+    r = jnp.zeros(u1.shape[1:-1] + (4,), jnp.float32)
+    for i in range(s_count):
+        wo_local = sample_uniform_hemisphere(u1[i])
+        wo_render = frame.from_local(wo_local)
+        bs = bsdf_sample(
+            materials, kinds_present, mat_id, frame, ns, wo_render,
+            u2[i], uc[i], swl, **ctx,
+        )
+        cos_i = jnp.abs(frame.to_local(bs.wi)[..., 2])
+        cos_o = jnp.abs(wo_local[..., 2])
+        ok = bs.valid & (bs.pdf > 0.0) & (cos_o > 0.0)
+        w = cos_i * cos_o / (UNIFORM_HEMISPHERE_PDF * jnp.maximum(bs.pdf, 1e-20))
+        r = r + jnp.where(ok[..., None], bs.f * w[..., None], 0.0)
+    return r / (float(s_count) * jnp.pi)

@@ -229,3 +229,65 @@ class TestFresnel:
             sc.fresnel_complex(jnp.array(1.0), jnp.array(0.2), jnp.array(3.0))
         )
         assert f > 0.9  # metals are highly reflective at normal incidence
+
+
+class TestRhoEstimators:
+    def test_rho_lambertian_exact(self):
+        """rho_hd = rho_hh = R for a Lambertian surface (bxdf.rs:49-93 /
+        pbrt-v4 eqs. 4.12-4.13) — the MC estimators are exact here
+        because f*cos/pdf == R for cosine sampling."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from shimmer_tpu.color.colorspace import get_named_color_space
+        from shimmer_tpu.materials import material as mtl
+        from shimmer_tpu.materials.material import (
+            bsdf_rho_hd,
+            bsdf_rho_hh,
+            make_material_table,
+        )
+        from shimmer_tpu.ops import rng as srng
+        from shimmer_tpu.ops.vecmath import Frame
+        from shimmer_tpu.spectra.rgb2spec import fit_rgb_coeffs
+        from shimmer_tpu.spectra.sampled import SampledWavelengths
+
+        cs = get_named_color_space("srgb")
+        coeffs = fit_rgb_coeffs(np.array([[0.6, 0.6, 0.6]]), cs)[0]
+        mats = make_material_table(
+            [{"kind": mtl.DIFFUSE, "reflectance_coeffs": coeffs}]
+        )
+        n, s = 64, 16
+        k = jnp.arange(n * s, dtype=jnp.uint32)
+        u = srng.u32_to_unit_float(srng.pcg_hash(k)).reshape(s, n)
+        u2 = jnp.stack(
+            [
+                srng.u32_to_unit_float(srng.pcg_hash(k + jnp.uint32(9))),
+                srng.u32_to_unit_float(srng.pcg_hash(k + jnp.uint32(17))),
+            ],
+            -1,
+        ).reshape(s, n, 2)
+        u1 = jnp.stack(
+            [
+                srng.u32_to_unit_float(srng.pcg_hash(k + jnp.uint32(33))),
+                srng.u32_to_unit_float(srng.pcg_hash(k + jnp.uint32(41))),
+            ],
+            -1,
+        ).reshape(s, n, 2)
+        swl = SampledWavelengths.sample_uniform(jnp.full(n, 0.4))
+        z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+        frame = Frame.from_z(z)
+        wo = jnp.broadcast_to(
+            jnp.array([0.3, 0.0, 0.954]) / np.linalg.norm([0.3, 0.0, 0.954]),
+            (n, 3),
+        )
+        mat_id = jnp.zeros(n, jnp.int32)
+        kinds = (mtl.DIFFUSE,)
+        rho_d = np.asarray(
+            bsdf_rho_hd(mats, kinds, mat_id, frame, z, wo, swl, u, u2)
+        )
+        rho_h = np.asarray(
+            bsdf_rho_hh(mats, kinds, mat_id, frame, z, swl, u1, u, u2)
+        )
+        # the sigmoid uplift of flat 0.6 is within ~1% of 0.6 in-gamut
+        np.testing.assert_allclose(rho_d.mean(), 0.6, rtol=0.02)
+        np.testing.assert_allclose(rho_h.mean(), 0.6, rtol=0.05)
