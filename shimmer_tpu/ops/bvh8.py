@@ -256,7 +256,10 @@ def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
     8 nodes per (8, 128) f32 tile, node r at lanes ``16*(r&7) + c`` of
     tile ``r >> 3``, slot j on sublane j.  Fields c:
 
-    * internal: c0..c5 = lox loy loz hix hiy hiz, c6 = slot-valid flag
+    * internal: c0..c5 = lox loy loz hix hiy hiz, c6 = slot-valid flag,
+      c11 = 8-bit child-leaf mask (bit j set when child row base+j is a
+      leaf) — lets the dual-stack kernel split pushes into an ordered
+      internal stack and a leaf backlog without touching child metas
     * leaf:     c0..c8 = p0x..p2z, c9 = BVH-sorted triangle id
     * both:     c10 = the row's meta word (leaf_count | child_base << 4)
       as an exact small float — HBM-streamed tiles carry their own meta
@@ -276,6 +279,16 @@ def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
     fields[:, :, 10:] = 0.0
     assert int(meta.max(initial=0)) < (1 << 24), "meta must stay exact in f32"
     fields[:, :, 10] = meta.astype(np.float32)[:, None]
+    # c11: child-leaf mask for internal rows (exact small float <= 255).
+    child_base = (meta >> 4).astype(np.int64)
+    child_rows = np.clip(
+        child_base[:, None] + np.arange(8)[None, :], 0, n_rows - 1
+    )
+    child_is_leaf = (meta[child_rows] & 15) > 0          # (R, 8)
+    leaf_mask = (
+        child_is_leaf.astype(np.int64) << np.arange(8)[None, :]
+    ).sum(axis=1).astype(np.float32)
+    fields[is_int, :, 11] = leaf_mask[is_int, None]
     r8 = -(-n_rows // 8)
     pad = r8 * 8 - n_rows
     if pad:
