@@ -77,6 +77,8 @@ P = 128                      # rays per packet (one vreg lane dim)
 # K=2: 5.55, K=4: 6.93, K=8: 7.16 Mrays/s raw — 4 is the knee; 8 adds
 # VMEM/SMEM pressure for ~3%.
 K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "4"))
+# Packet groups per grid step (v2): amortizes fixed grid-step overhead.
+TRAVERSE_GROUPS = int(os.environ.get("SHIMMER_GROUPS", "2"))
 # Input rows per packet.  Everything loop-invariant is precomputed by
 # XLA at pack time and handed to the kernel as extra rows — the kernel
 # loop then contains no divides and no shear/permute setup:
@@ -85,8 +87,10 @@ K_PACKETS = int(os.environ.get("SHIMMER_KPACKETS", "4"))
 #   14 permute code (0/1/2 = |d|-max axis), 15 dz_ok flag
 _ROWS_IN = 16
 _ROWS_OUT = 8                # t, tri, steps, pad
-# VMEM budget for the node table (v5e); larger scenes use the XLA path.
-VMEM_TABLE_BYTES = 48 * 1024 * 1024
+# VMEM budget for the node table (v5e has 128 MB VMEM; leave headroom
+# for ray/out blocks and the far-tile slots).  Scenes beyond the budget
+# stream their cold rows from HBM per visit.
+VMEM_TABLE_BYTES = int(os.environ.get("SHIMMER_VMEM_MB", "96")) * 1024 * 1024
 
 
 def _permute3(x, y, z, is0, is1):
@@ -145,13 +149,13 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
     # cheap reloads beat carrying loop-invariant vregs per packet).
     # Rows 8+ hold invariants precomputed at pack time (see _ROWS_IN).
     def ray_of(k):
-        rays = rays_ref[k]                    # (16, P)
+        rays = rays_ref[:, k * P:(k + 1) * P]   # (16, P)
         return (rays[0:1], rays[1:2], rays[2:3],
                 rays[3:4], rays[4:5], rays[5:6],
                 rays[6:7], rays[7:8] > 0.0)
 
     def inv_of(k):
-        rays = rays_ref[k]
+        rays = rays_ref[:, k * P:(k + 1) * P]
         return rays[8:9], rays[9:10], rays[10:11]
 
     def shear_of(k):
@@ -159,7 +163,7 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         (triangle.rs:173-228) — precomputed at pack time with formulas
         identical to shapes/triangle.py::intersect_triangle so the
         caller's re-intersection reproduces the kernel's hit decision."""
-        rays = rays_ref[k]
+        rays = rays_ref[:, k * P:(k + 1) * P]
         pc = rays[14:15]
         return (pc < 0.5, (pc >= 0.5) & (pc < 1.5),
                 rays[11:12], rays[12:13], rays[13:14], rays[15:16] > 0.0)
@@ -370,7 +374,7 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
     steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
     zero_pad = jnp.zeros((_ROWS_OUT - 3, P), jnp.float32)
     for k in range(K):
-        out_ref[k] = jnp.concatenate(
+        out_ref[:, k * P:(k + 1) * P] = jnp.concatenate(
             [t_bs[k], tris_[k], steps_v, zero_pad], axis=0
         )
 
@@ -388,7 +392,7 @@ def _traverse_kernel_v2(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
                         istack0_ref, istack1_ref, lstack_ref,
                         tab_ref, meta_ref, tab_sem, meta_sem,
                         far_ref, far_sem,
-                        *, stack_size, k_packets, n_rows, n_res, stream,
+                        *, stack_size, k_packets, n_rows, n_res, stream, groups,
                         ordered=ORDERED_POP, unified=UNIFIED):
     """Ordered dual-stack packet traversal (r5 redesign).
 
@@ -447,401 +451,406 @@ def _traverse_kernel_v2(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
     def fld(tile, c):
         return jnp.broadcast_to(tile[:, c : c + 1], (8, P))
 
-    def ray_of(k):
-        rays = rays_ref[k]
-        return (rays[0:1], rays[1:2], rays[2:3],
-                rays[3:4], rays[4:5], rays[5:6],
-                rays[6:7], rays[7:8] > 0.0)
+    # Several packet groups per grid step amortize the fixed
+    # per-grid-step cost (~20 us: block copies + program setup —
+    # measured 10.8 ms for 512 all-dead steps at 262k lanes).
+    for g_i in range(groups):
+        goff = g_i * K * P
+        def ray_of(k):
+            rays = rays_ref[:, goff + k * P:goff + (k + 1) * P]
+            return (rays[0:1], rays[1:2], rays[2:3],
+                    rays[3:4], rays[4:5], rays[5:6],
+                    rays[6:7], rays[7:8] > 0.0)
 
-    def inv_of(k):
-        rays = rays_ref[k]
-        return rays[8:9], rays[9:10], rays[10:11]
+        def inv_of(k):
+            rays = rays_ref[:, goff + k * P:goff + (k + 1) * P]
+            return rays[8:9], rays[9:10], rays[10:11]
 
-    def shear_of(k):
-        rays = rays_ref[k]
-        pc = rays[14:15]
-        return (pc < 0.5, (pc >= 0.5) & (pc < 1.5),
-                rays[11:12], rays[12:13], rays[13:14], rays[15:16] > 0.0)
+        def shear_of(k):
+            rays = rays_ref[:, goff + k * P:goff + (k + 1) * P]
+            pc = rays[14:15]
+            return (pc < 0.5, (pc >= 0.5) & (pc < 1.5),
+                    rays[11:12], rays[12:13], rays[13:14], rays[15:16] > 0.0)
 
-    t_bests, actives = [], []
-    for k in range(K):
-        *_, t_max, _want = ray_of(k)
-        a0 = (t_max > 0.0).astype(jnp.float32)
-        t_bests.append(t_max)
-        actives.append(a0)
-
-    # Root row 0 may itself be a leaf (tiny scenes): route the initial
-    # entry to the matching stack at runtime.
-    root_entry = (0 << 4) | 1 if ordered else (0 << 8) | 1
-    if unified:
-        # One stack: the root pops through the normal path whatever its
-        # kind (leaf rows self-mask in internal_step via cnt == 0).
+        t_bests, actives = [], []
         for k in range(K):
-            istack0_ref[k, 0] = root_entry
-            istack1_ref[k, 0] = 0
-            lstack_ref[k, 0] = 0
-        sp0 = jnp.int32(1)
-        lsp0 = jnp.int32(0)
-    else:
-        root_is_leaf = (meta_ref[0] & 15) > 0
-        for k in range(K):
-            istack0_ref[k, 0] = jnp.where(root_is_leaf, 0, root_entry)
-            istack1_ref[k, 0] = 0
-            lstack_ref[k, 0] = jnp.where(root_is_leaf, 1, 0)
-        sp0 = jnp.where(root_is_leaf, 0, 1)
-        lsp0 = jnp.where(root_is_leaf, 1, 0)
+            *_, t_max, _want = ray_of(k)
+            a0 = (t_max > 0.0).astype(jnp.float32)
+            t_bests.append(t_max)
+            actives.append(a0)
 
-    def internal_step(k, tile, t_best, active, live):
-        """Slab test → (any8 (8,1) bool, tn_min (8,1))."""
-        ox, oy, oz, *_ = ray_of(k)
-        inv_x, inv_y, inv_z = inv_of(k)
-        t0x = (fld(tile, 0) - ox) * inv_x
-        t1x = (fld(tile, 3) - ox) * inv_x
-        t0y = (fld(tile, 1) - oy) * inv_y
-        t1y = (fld(tile, 4) - oy) * inv_y
-        t0z = (fld(tile, 2) - oz) * inv_z
-        t1z = (fld(tile, 5) - oz) * inv_z
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        hit8 = (
-            (tn <= tf * 1.0001)
-            & (tf > 0.0)
-            & (tn < t_best)
-            & (fld(tile, 6) > 0.0)
-            & (active > 0.0)
-            & live
-        )
-        any8 = jnp.any(hit8, axis=1, keepdims=True)          # (8, 1)
-        tnm = jnp.min(
-            jnp.where(hit8, tn, jnp.float32(3.0e38)), axis=1, keepdims=True
-        )
-        return any8, tnm
+        # Root row 0 may itself be a leaf (tiny scenes): route the initial
+        # entry to the matching stack at runtime.
+        root_entry = (0 << 4) | 1 if ordered else (0 << 8) | 1
+        if unified:
+            # One stack: the root pops through the normal path whatever its
+            # kind (leaf rows self-mask in internal_step via cnt == 0).
+            for k in range(K):
+                istack0_ref[k, 0] = root_entry
+                istack1_ref[k, 0] = 0
+                lstack_ref[k, 0] = 0
+            sp0 = jnp.int32(1)
+            lsp0 = jnp.int32(0)
+        else:
+            root_is_leaf = (meta_ref[0] & 15) > 0
+            for k in range(K):
+                istack0_ref[k, 0] = jnp.where(root_is_leaf, 0, root_entry)
+                istack1_ref[k, 0] = 0
+                lstack_ref[k, 0] = jnp.where(root_is_leaf, 1, 0)
+            sp0 = jnp.where(root_is_leaf, 0, 1)
+            lsp0 = jnp.where(root_is_leaf, 1, 0)
 
-    def rank_order(any_int, tnm):
-        """Packed ascending-tn order of the set children in ``any_int``
-        ((8,1) bool): 3-bit child indices concatenated rank-major.
-        Rank via 7 sublane rolls with static index tie-breaks — a
-        stable-sort permutation, so ranks are unique even on ties."""
-        key = jnp.where(any_int, tnm, jnp.float32(3.4e38))
-        rank = jnp.zeros((8, 1), jnp.int32)
-        for s in range(1, 8):
-            other = pltpu.roll(key, s, axis=0)     # lane i: key[(i-s)%8]
-            j_col = (iota_col - s) & 7
-            tie = (other == key) & (j_col < iota_col)
-            rank = rank + jnp.where((other < key) | tie, 1, 0)
-        packed = jnp.where(any_int, iota_col << (3 * rank), 0)
-        return jnp.sum(packed)                      # scalar
-
-    def leaf_step(k, tile, cnt, t_best, tri, active, live):
-        ox, oy, oz, dx, dy, dz, _tm, want_any = ray_of(k)
-        is0, is1, sx, sy, sz, dz_ok = shear_of(k)
-        v = tuple(fld(tile, c) for c in range(9))
-        ids = fld(tile, 9)
-        a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
-        a1 = (v[3] - ox, v[4] - oy, v[5] - oz)
-        a2 = (v[6] - ox, v[7] - oy, v[8] - oz)
-        q0 = _permute3(*a0, is0, is1)
-        q1 = _permute3(*a1, is0, is1)
-        q2 = _permute3(*a2, is0, is1)
-        x0 = q0[0] + sx * q0[2]
-        y0 = q0[1] + sy * q0[2]
-        x1 = q1[0] + sx * q1[2]
-        y1 = q1[1] + sy * q1[2]
-        x2 = q2[0] + sx * q2[2]
-        y2 = q2[1] + sy * q2[2]
-        e0 = difference_of_products(x1, y2, y1, x2)
-        e1 = difference_of_products(x2, y0, y2, x0)
-        e2 = difference_of_products(x0, y1, y0, x1)
-        same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
-            (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-        )
-        det = e0 + e1 + e2
-        det_ok = det != 0.0
-        ts = e0 * (q0[2] * sz) + e1 * (q1[2] * sz) + e2 * (q2[2] * sz)
-        neg = det < 0.0
-        t_ok = (neg & (ts <= 1e-7 * det) & (ts > t_best * det)) | (
-            (~neg) & (ts >= 1e-7 * det) & (ts < t_best * det)
-        )
-        slot_ok = iota8 < cnt
-        hit = (
-            same_sign & det_ok & t_ok & dz_ok & slot_ok
-            & (active > 0.0) & live
-        )
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-        t = jnp.where(hit, ts * inv_det, jnp.inf)
-        tmin = jnp.min(t, axis=0, keepdims=True)
-        closer = tmin < t_best
-        cand = jnp.where(t == tmin, iota8, 8)
-        sel = jnp.min(cand, axis=0, keepdims=True)
-        oh = iota8 == sel
-        win_id = jnp.sum(jnp.where(oh, ids, 0.0), axis=0, keepdims=True)
-        t_best = jnp.where(closer, tmin, t_best)
-        tri = jnp.where(closer, win_id, tri)
-        active = jnp.where(want_any & closer, 0.0, active)
-        return t_best, tri, active
-
-    def body(c):
-        sps, lsps, t_bs, tris_, acts, ns = c
-        sps_n = list(sps)
-        lsps_n = list(lsps)
-        t_n = list(t_bs)
-        tri_n = list(tris_)
-        act_n = list(acts)
-
-        pops = []
-        for k in range(K):
-            lsp = lsps[k]
-            if unified:
-                l_live = jnp.bool_(False)
-                lsp_p = lsp
-                r_l = jnp.int32(0)
-                bp = False
-            else:
-                # --- leaf pop (bitmask backlog, lsb peel) ---
-                l_live = lsp > 0
-                lidx = jnp.maximum(lsp - 1, 0)
-                le = lstack_ref[k, lidx]
-                lbits = le & 255
-                llsb = lbits & (-lbits)
-                lj = (
-                    jnp.where((llsb & 0xAA) != 0, 1, 0)
-                    + jnp.where((llsb & 0xCC) != 0, 2, 0)
-                    + jnp.where((llsb & 0xF0) != 0, 4, 0)
-                )
-                lrest = le - llsb
-                lstack_ref[k, lidx] = jnp.where(l_live, lrest, le)
-                lsp_p = lsp - jnp.where(
-                    l_live & ((lrest & 255) == 0), 1, 0
-                )
-                r_l = jnp.clip((le >> 8) + lj, 0, n_rows - 1)
-                bp = lsp >= LEAF_STACK - 2
-
-            # --- internal pop (ordered entry; backpressure pause) ---
-            sp = sps[k]
-            i_live = (sp > 0) & ~bp
-            iidx = jnp.maximum(sp - 1, 0)
-            e0 = istack0_ref[k, iidx]
-            if ordered:
-                e1 = istack1_ref[k, iidx]
-                n_rem = e0 & 15
-                ij = e1 & 7
-                istack0_ref[k, iidx] = jnp.where(i_live, e0 - 1, e0)
-                istack1_ref[k, iidx] = jnp.where(i_live, e1 >> 3, e1)
-                sp_p = sp - jnp.where(i_live & (n_rem == 1), 1, 0)
-                r_i = jnp.clip((e0 >> 4) + ij, 0, n_rows - 1)
-            else:
-                ibits = e0 & 255
-                ilsb = ibits & (-ibits)
-                ij = (
-                    jnp.where((ilsb & 0xAA) != 0, 1, 0)
-                    + jnp.where((ilsb & 0xCC) != 0, 2, 0)
-                    + jnp.where((ilsb & 0xF0) != 0, 4, 0)
-                )
-                irest = e0 - ilsb
-                istack0_ref[k, iidx] = jnp.where(i_live, irest, e0)
-                sp_p = sp - jnp.where(
-                    i_live & ((irest & 255) == 0), 1, 0
-                )
-                r_i = jnp.clip((e0 >> 8) + ij, 0, n_rows - 1)
-
-            if stream:
-                far_i = i_live & (r_i >= n_res_rows)
-                far_l = (
-                    jnp.bool_(False)
-                    if unified
-                    else l_live & (r_l >= n_res_rows)
-                )
-
-                @pl.when(far_i)
-                def _(k=k, r_i=r_i):
-                    pltpu.make_async_copy(
-                        tab_hbm_ref.at[r_i >> 3], far_ref.at[k, 0],
-                        far_sem.at[k, 0],
-                    ).start()
-
-                if not unified:
-
-                    @pl.when(far_l)
-                    def _(k=k, r_l=r_l):
-                        pltpu.make_async_copy(
-                            tab_hbm_ref.at[r_l >> 3], far_ref.at[k, 1],
-                            far_sem.at[k, 1],
-                        ).start()
-            else:
-                far_i = far_l = None
-            pops.append(
-                (sp_p, lsp_p, r_i, r_l, i_live, l_live, far_i, far_l)
+        def internal_step(k, tile, t_best, active, live):
+            """Slab test → (any8 (8,1) bool, tn_min (8,1))."""
+            ox, oy, oz, *_ = ray_of(k)
+            inv_x, inv_y, inv_z = inv_of(k)
+            t0x = (fld(tile, 0) - ox) * inv_x
+            t1x = (fld(tile, 3) - ox) * inv_x
+            t0y = (fld(tile, 1) - oy) * inv_y
+            t1y = (fld(tile, 4) - oy) * inv_y
+            t0z = (fld(tile, 2) - oz) * inv_z
+            t1z = (fld(tile, 5) - oz) * inv_z
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
             )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            hit8 = (
+                (tn <= tf * 1.0001)
+                & (tf > 0.0)
+                & (tn < t_best)
+                & (fld(tile, 6) > 0.0)
+                & (active > 0.0)
+                & live
+            )
+            any8 = jnp.any(hit8, axis=1, keepdims=True)          # (8, 1)
+            tnm = jnp.min(
+                jnp.where(hit8, tn, jnp.float32(3.0e38)), axis=1, keepdims=True
+            )
+            return any8, tnm
 
-        for k in range(K):
-            sp_p, lsp_p, r_i, r_l, i_live, l_live, far_i, far_l = pops[k]
-            if stream:
+        def rank_order(any_int, tnm):
+            """Packed ascending-tn order of the set children in ``any_int``
+            ((8,1) bool): 3-bit child indices concatenated rank-major.
+            Rank via 7 sublane rolls with static index tie-breaks — a
+            stable-sort permutation, so ranks are unique even on ties."""
+            key = jnp.where(any_int, tnm, jnp.float32(3.4e38))
+            rank = jnp.zeros((8, 1), jnp.int32)
+            for s in range(1, 8):
+                other = pltpu.roll(key, s, axis=0)     # lane i: key[(i-s)%8]
+                j_col = (iota_col - s) & 7
+                tie = (other == key) & (j_col < iota_col)
+                rank = rank + jnp.where((other < key) | tie, 1, 0)
+            packed = jnp.where(any_int, iota_col << (3 * rank), 0)
+            return jnp.sum(packed)                      # scalar
 
-                @pl.when(far_i)
-                def _(k=k, r_i=r_i):
-                    pltpu.make_async_copy(
-                        tab_hbm_ref.at[r_i >> 3], far_ref.at[k, 0],
-                        far_sem.at[k, 0],
-                    ).wait()
+        def leaf_step(k, tile, cnt, t_best, tri, active, live):
+            ox, oy, oz, dx, dy, dz, _tm, want_any = ray_of(k)
+            is0, is1, sx, sy, sz, dz_ok = shear_of(k)
+            v = tuple(fld(tile, c) for c in range(9))
+            ids = fld(tile, 9)
+            a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
+            a1 = (v[3] - ox, v[4] - oy, v[5] - oz)
+            a2 = (v[6] - ox, v[7] - oy, v[8] - oz)
+            q0 = _permute3(*a0, is0, is1)
+            q1 = _permute3(*a1, is0, is1)
+            q2 = _permute3(*a2, is0, is1)
+            x0 = q0[0] + sx * q0[2]
+            y0 = q0[1] + sy * q0[2]
+            x1 = q1[0] + sx * q1[2]
+            y1 = q1[1] + sy * q1[2]
+            x2 = q2[0] + sx * q2[2]
+            y2 = q2[1] + sy * q2[2]
+            e0 = difference_of_products(x1, y2, y1, x2)
+            e1 = difference_of_products(x2, y0, y2, x0)
+            e2 = difference_of_products(x0, y1, y0, x1)
+            same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+                (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+            )
+            det = e0 + e1 + e2
+            det_ok = det != 0.0
+            ts = e0 * (q0[2] * sz) + e1 * (q1[2] * sz) + e2 * (q2[2] * sz)
+            neg = det < 0.0
+            t_ok = (neg & (ts <= 1e-7 * det) & (ts > t_best * det)) | (
+                (~neg) & (ts >= 1e-7 * det) & (ts < t_best * det)
+            )
+            slot_ok = iota8 < cnt
+            hit = (
+                same_sign & det_ok & t_ok & dz_ok & slot_ok
+                & (active > 0.0) & live
+            )
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            t = jnp.where(hit, ts * inv_det, jnp.inf)
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            closer = tmin < t_best
+            cand = jnp.where(t == tmin, iota8, 8)
+            sel = jnp.min(cand, axis=0, keepdims=True)
+            oh = iota8 == sel
+            win_id = jnp.sum(jnp.where(oh, ids, 0.0), axis=0, keepdims=True)
+            t_best = jnp.where(closer, tmin, t_best)
+            tri = jnp.where(closer, win_id, tri)
+            active = jnp.where(want_any & closer, 0.0, active)
+            return t_best, tri, active
 
-                if not unified:
+        def body(c):
+            sps, lsps, t_bs, tris_, acts, ns = c
+            sps_n = list(sps)
+            lsps_n = list(lsps)
+            t_n = list(t_bs)
+            tri_n = list(tris_)
+            act_n = list(acts)
 
-                    @pl.when(far_l)
-                    def _(k=k, r_l=r_l):
+            pops = []
+            for k in range(K):
+                lsp = lsps[k]
+                if unified:
+                    l_live = jnp.bool_(False)
+                    lsp_p = lsp
+                    r_l = jnp.int32(0)
+                    bp = False
+                else:
+                    # --- leaf pop (bitmask backlog, lsb peel) ---
+                    l_live = lsp > 0
+                    lidx = jnp.maximum(lsp - 1, 0)
+                    le = lstack_ref[k, lidx]
+                    lbits = le & 255
+                    llsb = lbits & (-lbits)
+                    lj = (
+                        jnp.where((llsb & 0xAA) != 0, 1, 0)
+                        + jnp.where((llsb & 0xCC) != 0, 2, 0)
+                        + jnp.where((llsb & 0xF0) != 0, 4, 0)
+                    )
+                    lrest = le - llsb
+                    lstack_ref[k, lidx] = jnp.where(l_live, lrest, le)
+                    lsp_p = lsp - jnp.where(
+                        l_live & ((lrest & 255) == 0), 1, 0
+                    )
+                    r_l = jnp.clip((le >> 8) + lj, 0, n_rows - 1)
+                    bp = lsp >= LEAF_STACK - 2
+
+                # --- internal pop (ordered entry; backpressure pause) ---
+                sp = sps[k]
+                i_live = (sp > 0) & ~bp
+                iidx = jnp.maximum(sp - 1, 0)
+                e0 = istack0_ref[k, iidx]
+                if ordered:
+                    e1 = istack1_ref[k, iidx]
+                    n_rem = e0 & 15
+                    ij = e1 & 7
+                    istack0_ref[k, iidx] = jnp.where(i_live, e0 - 1, e0)
+                    istack1_ref[k, iidx] = jnp.where(i_live, e1 >> 3, e1)
+                    sp_p = sp - jnp.where(i_live & (n_rem == 1), 1, 0)
+                    r_i = jnp.clip((e0 >> 4) + ij, 0, n_rows - 1)
+                else:
+                    ibits = e0 & 255
+                    ilsb = ibits & (-ibits)
+                    ij = (
+                        jnp.where((ilsb & 0xAA) != 0, 1, 0)
+                        + jnp.where((ilsb & 0xCC) != 0, 2, 0)
+                        + jnp.where((ilsb & 0xF0) != 0, 4, 0)
+                    )
+                    irest = e0 - ilsb
+                    istack0_ref[k, iidx] = jnp.where(i_live, irest, e0)
+                    sp_p = sp - jnp.where(
+                        i_live & ((irest & 255) == 0), 1, 0
+                    )
+                    r_i = jnp.clip((e0 >> 8) + ij, 0, n_rows - 1)
+
+                if stream:
+                    far_i = i_live & (r_i >= n_res_rows)
+                    far_l = (
+                        jnp.bool_(False)
+                        if unified
+                        else l_live & (r_l >= n_res_rows)
+                    )
+
+                    @pl.when(far_i)
+                    def _(k=k, r_i=r_i):
                         pltpu.make_async_copy(
-                            tab_hbm_ref.at[r_l >> 3], far_ref.at[k, 1],
-                            far_sem.at[k, 1],
+                            tab_hbm_ref.at[r_i >> 3], far_ref.at[k, 0],
+                            far_sem.at[k, 0],
+                        ).start()
+
+                    if not unified:
+
+                        @pl.when(far_l)
+                        def _(k=k, r_l=r_l):
+                            pltpu.make_async_copy(
+                                tab_hbm_ref.at[r_l >> 3], far_ref.at[k, 1],
+                                far_sem.at[k, 1],
+                            ).start()
+                else:
+                    far_i = far_l = None
+                pops.append(
+                    (sp_p, lsp_p, r_i, r_l, i_live, l_live, far_i, far_l)
+                )
+
+            for k in range(K):
+                sp_p, lsp_p, r_i, r_l, i_live, l_live, far_i, far_l = pops[k]
+                if stream:
+
+                    @pl.when(far_i)
+                    def _(k=k, r_i=r_i):
+                        pltpu.make_async_copy(
+                            tab_hbm_ref.at[r_i >> 3], far_ref.at[k, 0],
+                            far_sem.at[k, 0],
                         ).wait()
 
-                tile_i_res = tab_ref[jnp.minimum(r_i >> 3, n_res - 1)]
-                tile_i = jnp.where(far_i, far_ref[k, 0][:, :], tile_i_res)
-                col_i = pltpu.roll(
-                    tile_i, (128 - ((r_i & 7) << 4)) & 127, axis=1
-                )
-                m_i = jnp.where(
-                    far_i,
-                    col_i[0, 10].astype(jnp.int32),
-                    meta_ref[jnp.minimum(r_i, n_res_rows - 1)],
+                    if not unified:
+
+                        @pl.when(far_l)
+                        def _(k=k, r_l=r_l):
+                            pltpu.make_async_copy(
+                                tab_hbm_ref.at[r_l >> 3], far_ref.at[k, 1],
+                                far_sem.at[k, 1],
+                            ).wait()
+
+                    tile_i_res = tab_ref[jnp.minimum(r_i >> 3, n_res - 1)]
+                    tile_i = jnp.where(far_i, far_ref[k, 0][:, :], tile_i_res)
+                    col_i = pltpu.roll(
+                        tile_i, (128 - ((r_i & 7) << 4)) & 127, axis=1
+                    )
+                    m_i = jnp.where(
+                        far_i,
+                        col_i[0, 10].astype(jnp.int32),
+                        meta_ref[jnp.minimum(r_i, n_res_rows - 1)],
+                    )
+                    if unified:
+                        col_l, m_l = col_i, m_i
+                    else:
+                        tile_l_res = tab_ref[jnp.minimum(r_l >> 3, n_res - 1)]
+                        tile_l = jnp.where(
+                            far_l, far_ref[k, 1][:, :], tile_l_res
+                        )
+                        col_l = pltpu.roll(
+                            tile_l, (128 - ((r_l & 7) << 4)) & 127, axis=1
+                        )
+                        m_l = jnp.where(
+                            far_l,
+                            col_l[0, 10].astype(jnp.int32),
+                            meta_ref[jnp.minimum(r_l, n_res_rows - 1)],
+                        )
+                else:
+                    col_i = fetch(r_i)
+                    m_i = meta_ref[r_i]
+                    if unified:
+                        col_l, m_l = col_i, m_i
+                    else:
+                        col_l = fetch(r_l)
+                        m_l = meta_ref[r_l]
+
+                if unified:
+                    # v1-style single visit: the popped row self-selects —
+                    # internal work masked to cnt==0 rows, leaf work
+                    # self-masks via slot_ok (iota8 < cnt).
+                    int_live = i_live & ((m_i & 15) == 0)
+                    leaf_live = i_live
+                else:
+                    int_live = i_live
+                    leaf_live = l_live
+                any8, tnm = internal_step(
+                    k, col_i, t_bs[k], acts[k], int_live
                 )
                 if unified:
-                    col_l, m_l = col_i, m_i
+                    any_int = any8
+                    any_leaf = jnp.zeros((8, 1), bool)
                 else:
-                    tile_l_res = tab_ref[jnp.minimum(r_l >> 3, n_res - 1)]
-                    tile_l = jnp.where(
-                        far_l, far_ref[k, 1][:, :], tile_l_res
+                    # c11 replicates the child-leaf mask across all 8
+                    # sublanes (pack_tiles8), so the per-slot leaf test
+                    # stays in vector land — no vreg element extraction.
+                    leaf_vec = col_i[:, 11:12].astype(jnp.int32)   # (8,1)
+                    leaf_col = ((leaf_vec >> iota_col) & 1) > 0    # (8,1)
+                    any_int = any8 & ~leaf_col
+                    any_leaf = any8 & leaf_col
+                # ONE combined vector->scalar reduction for the leaf bits and
+                # the internal count/bits (each sync of the scalar pipe on
+                # vector results costs ~100 cycles; v2's first cut paid five
+                # per chain-step and ran 1.7x slower than v1 per step).
+                child_base = m_i >> 4
+                if ordered:
+                    combo = jnp.sum(
+                        jnp.where(any_leaf, 1 << iota_col, 0)
+                        + jnp.where(any_int, 256, 0)
                     )
-                    col_l = pltpu.roll(
-                        tile_l, (128 - ((r_l & 7) << 4)) & 127, axis=1
+                    bits_leaf = combo & 255
+                    n_int = combo >> 8
+                    order = rank_order(any_int, tnm)
+                    push_int = i_live & (n_int != 0)
+                    ie_new = (child_base << 4) | n_int
+                else:
+                    combo = jnp.sum(
+                        jnp.where(any_leaf, 1 << iota_col, 0)
+                        + jnp.where(any_int, 256 << iota_col, 0)
                     )
-                    m_l = jnp.where(
-                        far_l,
-                        col_l[0, 10].astype(jnp.int32),
-                        meta_ref[jnp.minimum(r_l, n_res_rows - 1)],
+                    bits_leaf = combo & 255
+                    bits_int = combo >> 8
+                    push_int = i_live & (bits_int != 0)
+                    ie_new = (child_base << 8) | bits_int
+
+                islot = jnp.clip(sp_p, 0, stack_size - 1)
+                istack0_ref[k, islot] = jnp.where(
+                    push_int, ie_new, istack0_ref[k, islot]
+                )
+                if ordered:
+                    istack1_ref[k, islot] = jnp.where(
+                        push_int, order, istack1_ref[k, islot]
                     )
-            else:
-                col_i = fetch(r_i)
-                m_i = meta_ref[r_i]
+                sp2 = sp_p + jnp.where(push_int, 1, 0)
+                sps_n[k] = sp2
+
                 if unified:
-                    col_l, m_l = col_i, m_i
+                    lsps_n[k] = lsp
                 else:
-                    col_l = fetch(r_l)
-                    m_l = meta_ref[r_l]
+                    push_leaf = i_live & (bits_leaf != 0)
+                    lslot = jnp.clip(lsp_p, 0, LEAF_STACK - 1)
+                    lstack_ref[k, lslot] = jnp.where(
+                        push_leaf,
+                        (child_base << 8) | bits_leaf,
+                        lstack_ref[k, lslot],
+                    )
+                    lsp2 = lsp_p + jnp.where(push_leaf, 1, 0)
+                    lsps_n[k] = lsp2
 
-            if unified:
-                # v1-style single visit: the popped row self-selects —
-                # internal work masked to cnt==0 rows, leaf work
-                # self-masks via slot_ok (iota8 < cnt).
-                int_live = i_live & ((m_i & 15) == 0)
-                leaf_live = i_live
-            else:
-                int_live = i_live
-                leaf_live = l_live
-            any8, tnm = internal_step(
-                k, col_i, t_bs[k], acts[k], int_live
-            )
-            if unified:
-                any_int = any8
-                any_leaf = jnp.zeros((8, 1), bool)
-            else:
-                # c11 replicates the child-leaf mask across all 8
-                # sublanes (pack_tiles8), so the per-slot leaf test
-                # stays in vector land — no vreg element extraction.
-                leaf_vec = col_i[:, 11:12].astype(jnp.int32)   # (8,1)
-                leaf_col = ((leaf_vec >> iota_col) & 1) > 0    # (8,1)
-                any_int = any8 & ~leaf_col
-                any_leaf = any8 & leaf_col
-            # ONE combined vector->scalar reduction for the leaf bits and
-            # the internal count/bits (each sync of the scalar pipe on
-            # vector results costs ~100 cycles; v2's first cut paid five
-            # per chain-step and ran 1.7x slower than v1 per step).
-            child_base = m_i >> 4
-            if ordered:
-                combo = jnp.sum(
-                    jnp.where(any_leaf, 1 << iota_col, 0)
-                    + jnp.where(any_int, 256, 0)
+                cnt_l = m_l & 15
+                tb, tr, ac = leaf_step(
+                    k, col_l, cnt_l, t_bs[k], tris_[k], acts[k], leaf_live
                 )
-                bits_leaf = combo & 255
-                n_int = combo >> 8
-                order = rank_order(any_int, tnm)
-                push_int = i_live & (n_int != 0)
-                ie_new = (child_base << 4) | n_int
-            else:
-                combo = jnp.sum(
-                    jnp.where(any_leaf, 1 << iota_col, 0)
-                    + jnp.where(any_int, 256 << iota_col, 0)
-                )
-                bits_leaf = combo & 255
-                bits_int = combo >> 8
-                push_int = i_live & (bits_int != 0)
-                ie_new = (child_base << 8) | bits_int
+                t_n[k] = tb
+                tri_n[k] = tr
+                act_n[k] = ac
+            return (tuple(sps_n), tuple(lsps_n), tuple(t_n), tuple(tri_n),
+                    tuple(act_n), ns + 1)
 
-            islot = jnp.clip(sp_p, 0, stack_size - 1)
-            istack0_ref[k, islot] = jnp.where(
-                push_int, ie_new, istack0_ref[k, islot]
-            )
-            if ordered:
-                istack1_ref[k, islot] = jnp.where(
-                    push_int, order, istack1_ref[k, islot]
-                )
-            sp2 = sp_p + jnp.where(push_int, 1, 0)
-            sps_n[k] = sp2
+        def cond(c):
+            sps, lsps = c[0], c[1]
+            live = (sps[0] > 0) | (lsps[0] > 0)
+            for k in range(1, K):
+                live = live | (sps[k] > 0) | (lsps[k] > 0)
+            return live
 
-            if unified:
-                lsps_n[k] = lsp
-            else:
-                push_leaf = i_live & (bits_leaf != 0)
-                lslot = jnp.clip(lsp_p, 0, LEAF_STACK - 1)
-                lstack_ref[k, lslot] = jnp.where(
-                    push_leaf,
-                    (child_base << 8) | bits_leaf,
-                    lstack_ref[k, lslot],
-                )
-                lsp2 = lsp_p + jnp.where(push_leaf, 1, 0)
-                lsps_n[k] = lsp2
-
-            cnt_l = m_l & 15
-            tb, tr, ac = leaf_step(
-                k, col_l, cnt_l, t_bs[k], tris_[k], acts[k], leaf_live
-            )
-            t_n[k] = tb
-            tri_n[k] = tr
-            act_n[k] = ac
-        return (tuple(sps_n), tuple(lsps_n), tuple(t_n), tuple(tri_n),
-                tuple(act_n), ns + 1)
-
-    def cond(c):
-        sps, lsps = c[0], c[1]
-        live = (sps[0] > 0) | (lsps[0] > 0)
-        for k in range(1, K):
-            live = live | (sps[k] > 0) | (lsps[k] > 0)
-        return live
-
-    init = (
-        tuple(
-            jnp.where(jnp.max(actives[k]) > 0.0, sp0, 0) for k in range(K)
-        ),
-        tuple(
-            jnp.where(jnp.max(actives[k]) > 0.0, lsp0, 0)
-            for k in range(K)
-        ),
-        tuple(t_bests),
-        tuple(jnp.full((1, P), -1.0, jnp.float32) for _ in range(K)),
-        tuple(actives),
-        jnp.int32(0),
-    )
-    _, _, t_bs, tris_, _, n_steps = jax.lax.while_loop(cond, body, init)
-    steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
-    zero_pad = jnp.zeros((_ROWS_OUT - 3, P), jnp.float32)
-    for k in range(K):
-        out_ref[k] = jnp.concatenate(
-            [t_bs[k], tris_[k], steps_v, zero_pad], axis=0
+        init = (
+            tuple(
+                jnp.where(jnp.max(actives[k]) > 0.0, sp0, 0) for k in range(K)
+            ),
+            tuple(
+                jnp.where(jnp.max(actives[k]) > 0.0, lsp0, 0)
+                for k in range(K)
+            ),
+            tuple(t_bests),
+            tuple(jnp.full((1, P), -1.0, jnp.float32) for _ in range(K)),
+            tuple(actives),
+            jnp.int32(0),
         )
+        _, _, t_bs, tris_, _, n_steps = jax.lax.while_loop(cond, body, init)
+        steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
+        zero_pad = jnp.zeros((_ROWS_OUT - 3, P), jnp.float32)
+        for k in range(K):
+            out_ref[:, goff + k * P:goff + (k + 1) * P] = jnp.concatenate(
+                [t_bs[k], tris_[k], steps_v, zero_pad], axis=0
+            )
 
 
 # Kernel selection: v2 (ordered dual-stack) is the default; set
@@ -853,7 +862,7 @@ KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "0") == "1"
     jax.jit, static_argnames=("stack_size", "interpret", "n_res")
 )
 def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
-    gk = rays.shape[0]
+    gk = rays.shape[1] // P      # rays: lane-major (_ROWS_IN, gk * P)
     K = K_PACKETS
     n_tiles = tiles.shape[0]
     if n_res is None:
@@ -866,7 +875,9 @@ def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
         # (interpret mode has no tiling; tests keep tiny budgets there).
         n_res = min(max(128, (n_res // 128) * 128), n_tiles)
         stream = n_res < n_tiles
+    groups = TRAVERSE_GROUPS if gk % (K * TRAVERSE_GROUPS) == 0 else 1
     if KERNEL_V1:
+        groups = 1
         kern = functools.partial(
             _traverse_kernel, stack_size=stack_size, k_packets=K,
             n_rows=meta.shape[0], n_res=n_res, stream=stream,
@@ -885,6 +896,7 @@ def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
         kern = functools.partial(
             _traverse_kernel_v2, stack_size=stack_size, k_packets=K,
             n_rows=meta.shape[0], n_res=n_res, stream=stream,
+            groups=groups,
         )
         scratch = [
             pltpu.SMEM((K, stack_size), jnp.int32),   # internal e0
@@ -900,18 +912,19 @@ def _traverse_call(meta, tiles, rays, *, stack_size, interpret, n_res=None):
         ]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((gk, _ROWS_OUT, P), jnp.float32),
-        grid=(gk // K,),
+        out_shape=jax.ShapeDtypeStruct((_ROWS_OUT, gk * P), jnp.float32),
+        grid=(gk // (K * groups),),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # meta stays in HBM
+            # Lane-major ray rows: block i covers groups*K packets.
             pl.BlockSpec(
-                (K, _ROWS_IN, P), lambda i: (i, 0, 0),
+                (_ROWS_IN, groups * K * P), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),   # table stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (K, _ROWS_OUT, P), lambda i: (i, 0, 0),
+            (_ROWS_OUT, groups * K * P), lambda i: (0, i),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch,
@@ -1089,17 +1102,14 @@ def traverse_packets_raw(tris, ray_o, ray_d, t_max, any_hit=False,
         ],
         axis=0,
     )                                                     # (16, npad)
-    rays = jnp.transpose(lanes.reshape(_ROWS_IN, g, P), (1, 0, 2))
 
     out = _traverse_call(
-        tris.meta, tris.tiles8, rays,
+        tris.meta, tris.tiles8, lanes,
         stack_size=int(tris.stack_depth) + 8,
         interpret=interpret, n_res=n_res,
-    )                                                     # (g, 8, P)
+    )                                                     # (8, npad)
     k_rows = 3 if return_steps else 2
-    flat = jnp.transpose(out[:, :k_rows], (1, 0, 2)).reshape(
-        k_rows, npad
-    )[:, :n]
+    flat = out[:k_rows, :n]
     if inv is not None:
         # Scatter-unsort: one .at[].set per row beats building the
         # inverse permutation (a full (N,) scatter) plus gathers.
