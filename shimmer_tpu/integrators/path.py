@@ -12,7 +12,6 @@ differentiable path.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -677,16 +676,22 @@ def li_path(
 
         # --- Russian roulette on beta * eta_scale (integrator.rs:877-891) ---
         u_rr, s_state = sampler.get_1d(s_state)
-        if depth > 0:  # noqa: B023 — depth is a static python int
+        # depth is a python int in the unrolled loop, a traced scalar
+        # under the scan form (remat) — both skip RR on the first bounce.
+        static_depth = isinstance(depth, int)
+        if not static_depth or depth > 0:
+            rr_on = True if static_depth else (depth > 0)
             rr_beta = jnp.max(beta * eta_scale[..., None], axis=-1)
             # stop_gradient: the RR survival probability is part of the
             # sampling measure, not the integrand — detaching it keeps the
             # AD estimator unbiased (the kill indicator's θ-dependence and
             # the 1/(1-q) weight's θ-dependence cancel only in expectation).
             q = jax.lax.stop_gradient(jnp.maximum(0.0, 1.0 - rr_beta))
-            kill = alive & (u_rr < q)
+            kill = alive & (u_rr < q) & rr_on
             beta = jnp.where(
-                alive[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
+                (alive & rr_on)[..., None],
+                beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                beta,
             )
             alive = alive & ~kill
 
@@ -735,11 +740,25 @@ def li_path(
         carry = carry + (
             jnp.full(n, scene.camera_medium, jnp.int32),
         )
-    for depth in range(max_depth):
-        step_fn = functools.partial(_bounce, depth)
-        if remat:
-            step_fn = jax.checkpoint(step_fn)
-        carry = step_fn(carry)
+    if remat:
+        # scan-over-bounces: ONE traced bounce instead of max_depth
+        # unrolled copies — compiles ~max_depth x faster (the r4 bwd
+        # program took 227 s to build).  remat="full" additionally wraps
+        # the body in jax.checkpoint (O(1)-in-depth activations, ~30%
+        # slower backward from recompute); the default lets scan AD
+        # store per-bounce residuals, which fit at bench lane counts.
+        def _scan_body(c, depth_idx):
+            return _bounce(depth_idx, c), None
+
+        body = (
+            jax.checkpoint(_scan_body) if remat == "full" else _scan_body
+        )
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(max_depth, dtype=jnp.int32)
+        )
+    else:
+        for depth in range(max_depth):
+            carry = _bounce(depth, carry)
     if iface_med:
         cur_med_final = carry[-1]
         carry = carry[:-1]

@@ -292,6 +292,9 @@ def make_replay_wavefront_renderer(
     textures, light scales) and film_state."""
     li_fn = INTEGRATORS["path"]
     opts = {"regularize": True} if regularize else {}
+    # scan-over-bounces + per-bounce checkpoint: one traced bounce (fast
+    # compile) and O(1)-in-depth activation memory for the replay VJP.
+    opts["remat"] = True
     spread = getattr(camera, "pixel_spread", 0.0)
     if spread:
         opts["pixel_spread"] = spread * max(
