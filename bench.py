@@ -394,11 +394,14 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
     if use_pallas:
         from shimmer_tpu.ops.pallas.traverse import traverse_packets_raw
 
-        fn_steps = jax.jit(
+        # Steps come from the SAME configuration that is timed (the r4
+        # numbers mixed a sorted steps-run with an unsorted timing run).
+        fn = jax.jit(
             lambda o, d: traverse_packets_raw(
-                tris, o, d, jnp.inf, return_steps=True, sort_rays=True
+                tris, o, d, jnp.inf, return_steps=True
             )
         )
+        fn_steps = fn
     for name, o, d in [
         ("primary", ray.o, ray.d),
         ("bounce", jnp.asarray(pts * 1.05), jnp.asarray(dirs)),
@@ -417,7 +420,7 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
         dt = (time.time() - t0) / reps
         out[f"attrib_{name}_mrays_per_s"] = round(n / dt / 1e6, 3)
         if use_pallas:
-            steps = np.asarray(fn_steps(o, d)[2]).reshape(-1, P)[:, 0]
+            steps = np.asarray(r[2]).reshape(-1, P)[:, 0]
             out[f"attrib_{name}_steps_per_packet"] = round(float(steps.mean()), 1)
             gs = steps.reshape(-1, K_PACKETS).max(1).sum()
             out[f"attrib_{name}_ns_per_step"] = round(dt / max(gs, 1) * 1e9, 1)

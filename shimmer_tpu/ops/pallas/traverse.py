@@ -27,9 +27,15 @@ all lanes at once.  The design is driven by three on-chip measurements
    visit is a tile-aligned VMEM load + one dynamic lane roll + static
    lane broadcasts — pure VPU, exact f32.
 3. A single traversal chain is latency-bound (~290 ns/visit); four
-   independent chains in the same loop body pipeline to ~90 ns/visit.
-   The kernel therefore interleaves K=4 packets per grid step, each
-   with its own stack/bitmask state, sharing the while loop.
+   independent chains in the same loop body pipeline substantially
+   better, so the kernel interleaves K=4 packets per grid step, each
+   with its own stack/bitmask state, sharing the while loop.  With the
+   full (slab + watertight-leaf) body the measured production cost is
+   ~250 ns per chain-step — issue-bound on ~160 vector ops/step; the
+   r5 variant sweep (experiments/r5_kernel_ab.py) found structural
+   changes (dual-stack leaf overlap, tn-ordered pops — kernel v2 below)
+   trade steps against per-step cost near break-even and ~7% behind on
+   the production wave, so this v1 form stays the default.
 
 Traversal state stays minimal — per packet only (t_best, tri, active)
 vectors — and the winner's vertices/barycentrics are re-derived OUTSIDE
@@ -853,9 +859,13 @@ def _traverse_kernel_v2(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
             )
 
 
-# Kernel selection: v2 (ordered dual-stack) is the default; set
-# SHIMMER_KERNEL_V1=1 to fall back to the r4 branch-free single-stack.
-KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "0") == "1"
+# Kernel selection.  The r4 branch-free single-stack kernel (v1) is the
+# default: the r5 ABAB production-wave comparison measured it ~7% faster
+# end-to-end than the ordered/dual-stack v2 variants (1.59 vs 1.48
+# Mrays/s) even though v2 retires fewer packet steps — the step savings
+# are paid back in per-step cost.  Set SHIMMER_KERNEL_V1=0 for v2
+# (with SHIMMER_UNIFIED / SHIMMER_ORDERED / SHIMMER_GROUPS knobs).
+KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "1") == "1"
 
 
 @functools.partial(
