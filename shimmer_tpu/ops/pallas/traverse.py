@@ -96,7 +96,7 @@ _ROWS_OUT = 8                # t, tri, steps, pad
 # VMEM budget for the node table (v5e has 128 MB VMEM; leave headroom
 # for ray/out blocks and the far-tile slots).  Scenes beyond the budget
 # stream their cold rows from HBM per visit.
-VMEM_TABLE_BYTES = int(os.environ.get("SHIMMER_VMEM_MB", "96")) * 1024 * 1024
+VMEM_TABLE_BYTES = int(os.environ.get("SHIMMER_VMEM_MB", "110")) * 1024 * 1024
 
 
 def _permute3(x, y, z, is0, is1):
