@@ -260,11 +260,12 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         return t_best, tri, active
 
     def body(c):
-        sps, t_bs, tris_, acts, ns = c
+        sps, t_bs, tris_, acts, caches, ns = c
         sps_n = list(sps)
         t_n = list(t_bs)
         tri_n = list(tris_)
         act_n = list(acts)
+        cache_n = list(caches)
         # BRANCH-FREE unified step per packet: no lax.cond / pl.when —
         # each cond is a basic-block boundary that stops Mosaic from
         # pipelining the K independent chains (measured: cond-based
@@ -296,22 +297,30 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
             sp_p = sp - jnp.where((rest & 255) == 0, 1, 0)
             r = jnp.clip((e >> 8) + j, 0, n_rows - 1)
             far = live & (r >= n_res_rows) if stream else None
+            need = None
             if stream:
+                # Per-chain last-tile cache: sibling rows are contiguous
+                # (children base..base+7 usually share one 8-row tile),
+                # so consecutive far pops often want the tile already in
+                # far_ref[k] — skip the DMA when the index matches.
+                tidx = r >> 3
+                need = far & (tidx != caches[k])
 
-                @pl.when(far)
-                def _(k=k, r=r):
+                @pl.when(need)
+                def _(k=k, tidx=tidx):
                     pltpu.make_async_copy(
-                        tab_hbm_ref.at[r >> 3], far_ref.at[k],
+                        tab_hbm_ref.at[tidx], far_ref.at[k],
                         far_sem.at[k],
                     ).start()
 
-            pops.append((sp, sp_p, r, live, far))
+                cache_n[k] = jnp.where(far, tidx, caches[k])
+            pops.append((sp, sp_p, r, live, far, need))
 
         for k in range(K):
-            sp, sp_p, r, live, far = pops[k]
+            sp, sp_p, r, live, far, need = pops[k]
             if stream:
 
-                @pl.when(far)
+                @pl.when(need)
                 def _(k=k, r=r):
                     pltpu.make_async_copy(
                         tab_hbm_ref.at[r >> 3], far_ref.at[k],
@@ -354,7 +363,7 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
             tri_n[k] = tr
             act_n[k] = ac
         return (tuple(sps_n), tuple(t_n), tuple(tri_n), tuple(act_n),
-                ns + 1)
+                tuple(cache_n), ns + 1)
 
     def cond(c):
         # sp-only: an any-hit packet whose lanes all terminated simply
@@ -374,9 +383,10 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         tuple(t_bests),
         tuple(jnp.full((1, P), -1.0, jnp.float32) for _ in range(K)),
         tuple(actives),
+        tuple(jnp.int32(-1) for _ in range(K)),
         jnp.int32(0),
     )
-    sps, t_bs, tris_, _, n_steps = jax.lax.while_loop(cond, body, init)
+    sps, t_bs, tris_, _, _, n_steps = jax.lax.while_loop(cond, body, init)
     steps_v = jnp.full((1, P), n_steps.astype(jnp.float32))
     zero_pad = jnp.zeros((_ROWS_OUT - 3, P), jnp.float32)
     for k in range(K):
