@@ -511,6 +511,11 @@ def bwd_benchmark(
     v, g = vg(refl)
     jax.block_until_ready(g)
     log(f"bwd compile+first: {time.time()-t0:.1f}s")
+    # Warmups past the first-dispatch timing artifact (same reason as
+    # the attribution phase; bwd previously swung 2x run-to-run).
+    for k in range(2):
+        v, g = vg(refl * (1.0 + 1e-6 * (50 + k)))
+    jax.block_until_ready(g)
     t0 = time.time()
     reps = 2
     for k in range(reps):
