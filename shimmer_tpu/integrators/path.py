@@ -265,6 +265,16 @@ def sample_ld(scene: Scene, si, frame, swl, sampler, s_state, bsdf_ctx):
     return jnp.where((usable & ~occ)[..., None], contrib, 0.0), s_state
 
 
+def _has_proportional_pdfs(scene) -> bool:
+    """Static census: only the stochastic layered coats return
+    proportional pdfs from sample_f (layered.py); without them the
+    MIS re-evaluation dispatch need not compile."""
+    return any(
+        k in (mtl.COATED_DIFFUSE, mtl.COATED_CONDUCTOR)
+        for k in scene.material_kinds
+    )
+
+
 def _medium_segment(scene, sampler, swl, s_state, mid, si, alive, beta):
     """Homogeneous-medium distance sampling over a traced segment
     (pbrt VolPath semantics; channel-0 hero-wavelength sampling,
@@ -561,22 +571,28 @@ def li_path(
             0.0,
         )
         beta = jnp.where(surf[..., None], beta * step, beta)
-        # pdf for next-vertex MIS; proportional pdfs re-evaluate (bsdf.rs:72-76)
-        p_b_new = jnp.where(
-            bs.pdf_is_proportional,
-            bsdf_pdf(
-                scene.materials,
-                scene.material_kinds,
-                si.material_id,
-                frame,
-                si.ns,
-                si.wo,
-                bs.wi,
-                swl,
-                **bsdf_ctx,
-            ),
-            bs.pdf,
-        )
+        # pdf for next-vertex MIS; proportional pdfs re-evaluate
+        # (bsdf.rs:72-76).  Only the stochastic layered coats produce
+        # proportional pdfs, so the extra bsdf_pdf dispatch compiles
+        # only when the census has one.
+        if not _has_proportional_pdfs(scene):
+            p_b_new = bs.pdf
+        else:
+            p_b_new = jnp.where(
+                bs.pdf_is_proportional,
+                bsdf_pdf(
+                    scene.materials,
+                    scene.material_kinds,
+                    si.material_id,
+                    frame,
+                    si.ns,
+                    si.wo,
+                    bs.wi,
+                    swl,
+                    **bsdf_ctx,
+                ),
+                bs.pdf,
+            )
         p_b = jnp.where(surf, p_b_new, p_b)
         specular = jnp.where(surf, bs.is_specular(), specular)
         any_non_specular = any_non_specular | (surf & ~bs.is_specular())

@@ -325,14 +325,19 @@ def render_wave_wavefront(
             0.0,
         )
         beta = jnp.where(surf_shade[..., None], st.beta * step, st.beta)
-        p_b_new = jnp.where(
-            bs.pdf_is_proportional,
-            bsdf_pdf(
-                scene.materials, scene.material_kinds, si.material_id,
-                frame, si.ns, si.wo, bs.wi, swl, **bsdf_ctx,
-            ),
-            bs.pdf,
-        )
+        from shimmer_tpu.integrators.path import _has_proportional_pdfs
+
+        if not _has_proportional_pdfs(scene):
+            p_b_new = bs.pdf
+        else:
+            p_b_new = jnp.where(
+                bs.pdf_is_proportional,
+                bsdf_pdf(
+                    scene.materials, scene.material_kinds, si.material_id,
+                    frame, si.ns, si.wo, bs.wi, swl, **bsdf_ctx,
+                ),
+                bs.pdf,
+            )
         p_b = jnp.where(surf_shade, p_b_new, st.p_b)
         specular = jnp.where(surf_shade, bs.is_specular(), st.specular)
         any_ns = st.any_ns | (surf_shade & ~bs.is_specular())
