@@ -436,7 +436,7 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
     return out
 
 
-def streaming_benchmark(n_tris=1310720, wave_spp=8):
+def streaming_benchmark(n_tris=1310720, wave_spp=16):
     """One wave on a 1.3M-triangle scene (BASELINE config #4 class):
     the node table exceeds the VMEM budget, so this exercises the
     HBM-streaming Pallas traversal end-to-end on hardware."""
