@@ -47,10 +47,21 @@ standard BVH2→BVH8 collapse.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
 from shimmer_tpu.ops.bvh import binary_hierarchy
+
+# Leaf-test formulation for the Pallas packet kernel (read once at import
+# so packer and kernel always agree).  "1" packs leaf rows as
+# (p0, e1=p1-p0, e2=p2-p0) and the kernel runs Moller-Trumbore with the
+# precomputed edges — ~30 fewer vector ops per unified chain-step than
+# the watertight translate+permute+shear body (which needs 18 per-lane
+# selects for the dominant-axis permutation alone).  Default OFF: MT
+# with per-triangle rounded edges loses pbrt's shared-edge watertight
+# guarantee (triangle.rs:173-302), so it is an opt-in measured variant.
+LEAF_MT = os.environ.get("SHIMMER_LEAF_MT", "0") == "1"
 
 W8 = 128          # row width (f32)
 MAX_LEAF8 = 8     # max triangles per leaf row
@@ -289,6 +300,14 @@ def pack_tiles8(rows: np.ndarray, meta: np.ndarray) -> np.ndarray:
         child_is_leaf.astype(np.int64) << np.arange(8)[None, :]
     ).sum(axis=1).astype(np.float32)
     fields[is_int, :, 11] = leaf_mask[is_int, None]
+    if LEAF_MT:
+        # Leaf rows carry (p0, e1, e2) instead of (p0, p1, p2): the
+        # kernel's MT leaf test needs the edge vectors, and precomputing
+        # them here removes 6 per-step subtracts AND the whole
+        # dominant-axis permutation from the hot loop.
+        leaf = ~is_int
+        fields[leaf, :, 3:6] -= fields[leaf, :, 0:3]
+        fields[leaf, :, 6:9] -= fields[leaf, :, 0:3]
     r8 = -(-n_rows // 8)
     pad = r8 * 8 - n_rows
     if pad:

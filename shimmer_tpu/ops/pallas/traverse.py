@@ -37,6 +37,18 @@ all lanes at once.  The design is driven by three on-chip measurements
    trade steps against per-step cost near break-even and ~7% behind on
    the production wave, so this v1 form stays the default.
 
+**Leaf-test formulation (SHIMMER_LEAF_MT).**  The default leaf body is
+pbrt's watertight translate-permute-shear intersect.  Setting
+SHIMMER_LEAF_MT=1 switches leaf tiles to (p0, e1, e2) packing and the
+kernel to Moller-Trumbore with pack-time edges (~30 fewer vector ops
+per unified chain-step).  Measured on-chip (experiments/r5_mt_ab.py,
+r5_mt_wave_ab.py): raw coherent primaries +16% (7.15 vs 6.17 Mrays/s),
+raw incoherent bounces -1% (noise), production wave +0.4% (noise), hit
+agreement 1.000000 on the bench scene.  Watertight stays the default:
+the production wave's ray mix sees no win, so there is no reason to
+give up the shared-edge watertight guarantee; the MT flag is for
+coherent primary-visibility workloads (AO/baking-style batches).
+
 Traversal state stays minimal — per packet only (t_best, tri, active)
 vectors — and the winner's vertices/barycentrics are re-derived OUTSIDE
 the kernel by re-running the same watertight intersection on the
@@ -73,6 +85,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from shimmer_tpu.ops.bvh8 import LEAF_MT
 from shimmer_tpu.ops.math import difference_of_products
 
 import os
@@ -211,40 +224,65 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
 
     def leaf_step(k, tile, cnt, t_best, tri, active, live):
         ox, oy, oz, dx, dy, dz, _tm, want_any = ray_of(k)
-        is0, is1, sx, sy, sz, dz_ok = shear_of(k)
-        v = tuple(fld(tile, c) for c in range(9))            # p0..p2 xyz
         ids = fld(tile, 9)
-        a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
-        a1 = (v[3] - ox, v[4] - oy, v[5] - oz)
-        a2 = (v[6] - ox, v[7] - oy, v[8] - oz)
-        q0 = _permute3(*a0, is0, is1)
-        q1 = _permute3(*a1, is0, is1)
-        q2 = _permute3(*a2, is0, is1)
-        x0 = q0[0] + sx * q0[2]
-        y0 = q0[1] + sy * q0[2]
-        x1 = q1[0] + sx * q1[2]
-        y1 = q1[1] + sy * q1[2]
-        x2 = q2[0] + sx * q2[2]
-        y2 = q2[1] + sy * q2[2]
-        e0 = difference_of_products(x1, y2, y1, x2)
-        e1 = difference_of_products(x2, y0, y2, x0)
-        e2 = difference_of_products(x0, y1, y0, x1)
-        same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
-            (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-        )
-        det = e0 + e1 + e2
-        det_ok = det != 0.0
-        ts = e0 * (q0[2] * sz) + e1 * (q1[2] * sz) + e2 * (q2[2] * sz)
+        if LEAF_MT:
+            # Moller-Trumbore with pack-time edges (bvh8.py LEAF_MT):
+            # leaf lanes hold (p0, e1, e2).  Saves the 9 translate subs,
+            # 18 permutation selects, and 6 shear fmas of the watertight
+            # body (~30 vector ops of the ~160/step budget) at the cost
+            # of pbrt's shared-edge watertight guarantee — opt-in.
+            p0x, p0y, p0z = fld(tile, 0), fld(tile, 1), fld(tile, 2)
+            e1x, e1y, e1z = fld(tile, 3), fld(tile, 4), fld(tile, 5)
+            e2x, e2y, e2z = fld(tile, 6), fld(tile, 7), fld(tile, 8)
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            u_s = tvx * pvx + tvy * pvy + tvz * pvz
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v_s = dx * qvx + dy * qvy + dz * qvz
+            ts = e2x * qvx + e2y * qvy + e2z * qvz
+            w_s = det - u_s - v_s
+            same_sign = ((u_s >= 0) & (v_s >= 0) & (w_s >= 0)) | (
+                (u_s <= 0) & (v_s <= 0) & (w_s <= 0)
+            )
+            det_ok = det != 0.0
+            geom_ok = same_sign & det_ok
+        else:
+            is0, is1, sx, sy, sz, dz_ok = shear_of(k)
+            v = tuple(fld(tile, c) for c in range(9))        # p0..p2 xyz
+            a0 = (v[0] - ox, v[1] - oy, v[2] - oz)
+            a1 = (v[3] - ox, v[4] - oy, v[5] - oz)
+            a2 = (v[6] - ox, v[7] - oy, v[8] - oz)
+            q0 = _permute3(*a0, is0, is1)
+            q1 = _permute3(*a1, is0, is1)
+            q2 = _permute3(*a2, is0, is1)
+            x0 = q0[0] + sx * q0[2]
+            y0 = q0[1] + sy * q0[2]
+            x1 = q1[0] + sx * q1[2]
+            y1 = q1[1] + sy * q1[2]
+            x2 = q2[0] + sx * q2[2]
+            y2 = q2[1] + sy * q2[2]
+            e0 = difference_of_products(x1, y2, y1, x2)
+            e1 = difference_of_products(x2, y0, y2, x0)
+            e2 = difference_of_products(x0, y1, y0, x1)
+            same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+                (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+            )
+            det = e0 + e1 + e2
+            det_ok = det != 0.0
+            ts = e0 * (q0[2] * sz) + e1 * (q1[2] * sz) + e2 * (q2[2] * sz)
+            geom_ok = same_sign & det_ok & dz_ok
         neg = det < 0.0
         # bool-select spelled as logic ops (Mosaic rejects i1 where()).
         t_ok = (neg & (ts <= 1e-7 * det) & (ts > t_best * det)) | (
             (~neg) & (ts >= 1e-7 * det) & (ts < t_best * det)
         )
         slot_ok = iota8 < cnt
-        hit = (
-            same_sign & det_ok & t_ok & dz_ok & slot_ok
-            & (active > 0.0) & live
-        )
+        hit = geom_ok & t_ok & slot_ok & (active > 0.0) & live
         inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
         t = jnp.where(hit, ts * inv_det, jnp.inf)            # (8, P)
         tmin = jnp.min(t, axis=0, keepdims=True)             # (1, P)
@@ -875,7 +913,9 @@ def _traverse_kernel_v2(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
 # Mrays/s) even though v2 retires fewer packet steps — the step savings
 # are paid back in per-step cost.  Set SHIMMER_KERNEL_V1=0 for v2
 # (with SHIMMER_UNIFIED / SHIMMER_ORDERED / SHIMMER_GROUPS knobs).
-KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "1") == "1"
+KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "1") == "1" or LEAF_MT
+# (LEAF_MT tiles carry (p0,e1,e2) leaf lanes — only the v1 kernel reads
+# them in that form, so the MT flag pins kernel selection to v1.)
 
 
 @functools.partial(
