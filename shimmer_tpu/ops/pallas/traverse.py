@@ -287,11 +287,22 @@ def _traverse_kernel(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
         t = jnp.where(hit, ts * inv_det, jnp.inf)            # (8, P)
         tmin = jnp.min(t, axis=0, keepdims=True)             # (1, P)
         closer = tmin < t_best
-        # First-min slot without argmin lowering.
-        cand = jnp.where(t == tmin, iota8, 8)
-        sel = jnp.min(cand, axis=0, keepdims=True)
-        oh = iota8 == sel                                    # (8, P)
-        win_id = jnp.sum(jnp.where(oh, ids, 0.0), axis=0, keepdims=True)
+        # Winner-id selection.  The min-reduce form (SHIMMER_WINID_MIN=1)
+        # is 4 fewer vector ops but measured SLOWER on-chip (r5_winid_ab
+        # ABAB: raw primary 6.9 vs 7.15, wave 1.572 vs 1.590 Mrays/s) —
+        # Mosaic schedules the iota dance better than the where+min
+        # chain, so op count alone does not decide here.  Iota default.
+        if WINID_MIN:
+            win_id = jnp.min(
+                jnp.where(t == tmin, ids, jnp.inf), axis=0, keepdims=True
+            )
+        else:
+            cand = jnp.where(t == tmin, iota8, 8)
+            sel = jnp.min(cand, axis=0, keepdims=True)
+            oh = iota8 == sel
+            win_id = jnp.sum(
+                jnp.where(oh, ids, 0.0), axis=0, keepdims=True
+            )
         t_best = jnp.where(closer, tmin, t_best)
         tri = jnp.where(closer, win_id, tri)
         active = jnp.where(want_any & closer, 0.0, active)
@@ -913,6 +924,7 @@ def _traverse_kernel_v2(meta_hbm_ref, rays_ref, tab_hbm_ref, out_ref,
 # Mrays/s) even though v2 retires fewer packet steps — the step savings
 # are paid back in per-step cost.  Set SHIMMER_KERNEL_V1=0 for v2
 # (with SHIMMER_UNIFIED / SHIMMER_ORDERED / SHIMMER_GROUPS knobs).
+WINID_MIN = os.environ.get("SHIMMER_WINID_MIN", "0") == "1"
 KERNEL_V1 = os.environ.get("SHIMMER_KERNEL_V1", "1") == "1" or LEAF_MT
 # (LEAF_MT tiles carry (p0,e1,e2) leaf lanes — only the v1 kernel reads
 # them in that form, so the MT flag pins kernel selection to v1.)
