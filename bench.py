@@ -292,6 +292,7 @@ def main():
     t0 = time.time()
     first_wave_s = None
     ray_stats = []
+    iter_stats = []
     while done < spp:
         n = min(wave_spp, spp - done)
         idx = jnp.arange(done, done + n, dtype=jnp.uint32)
@@ -300,6 +301,7 @@ def main():
             state, st = wave_fn(state, idx, blocks[b], valids[b])
             if st is not None:
                 ray_stats.append(st["rays"])
+                iter_stats.append(st["iters"])
         jax.block_until_ready(state)
         if first_wave_s is None:
             first_wave_s = time.time() - tw
@@ -313,8 +315,20 @@ def main():
             f"traced {total_rays/1e6:.1f}M rays "
             f"({total_rays/(w*h*timed_spp):.2f} rays/pixel-sample)"
         )
+        # Live-lane occupancy of the merged trace dispatches: each
+        # wavefront iteration traces 2*block lanes (extension + shadow
+        # halves); `rays` counts only live lanes.  This is the
+        # raw-kernel-vs-production normalizer: raw attribution batches
+        # run at occupancy 1.0, the production wave at this value.
+        total_iters = float(np.sum(np.asarray(jnp.stack(iter_stats))))
+        occupancy = total_rays / max(total_iters * 2 * block, 1.0)
+        log(
+            f"wave occupancy: {occupancy:.3f} "
+            f"({total_iters:.0f} iterations, 2x{block} lanes each)"
+        )
     else:
         total_rays = rays_per_sample * timed_spp
+        occupancy = None
     mrays = total_rays / render_s / 1e6
 
     img = film.get_image(state)
@@ -357,6 +371,11 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                **(
+                    {"wave_occupancy": round(occupancy, 4)}
+                    if occupancy is not None
+                    else {}
+                ),
                 **extras,
             },
             default=float,   # numpy scalars in extras
