@@ -297,11 +297,21 @@ def main():
         n = min(wave_spp, spp - done)
         idx = jnp.arange(done, done + n, dtype=jnp.uint32)
         tw = time.time()
+        wave_rays, wave_iters = [], []
         for b in range(n_blocks):
             state, st = wave_fn(state, idx, blocks[b], valids[b])
             if st is not None:
-                ray_stats.append(st["rays"])
-                iter_stats.append(st["iters"])
+                wave_rays.append(st["rays"])
+                wave_iters.append(st["iters"])
+        # Force completion by FETCHING data (one round-trip per wave),
+        # not block_until_ready: on the axon tunnel the latter
+        # intermittently returns before queued dispatches execute
+        # (observed: an 8-block wave "timed" at 0.01s with the work
+        # completing during the later stats fetch — a ~2000x-inflated
+        # headline).  Fetching every queued stats scalar provably waits
+        # for every dispatch while keeping the queue async in between.
+        ray_stats.extend(float(x) for x in wave_rays)
+        iter_stats.extend(float(x) for x in wave_iters)
         jax.block_until_ready(state)
         if first_wave_s is None:
             first_wave_s = time.time() - tw
@@ -310,7 +320,7 @@ def main():
         timed_spp += n
     render_s = time.time() - t0
     if ray_stats:
-        total_rays = float(np.sum(np.asarray(jnp.stack(ray_stats))))
+        total_rays = float(np.sum(ray_stats))
         log(
             f"traced {total_rays/1e6:.1f}M rays "
             f"({total_rays/(w*h*timed_spp):.2f} rays/pixel-sample)"
@@ -320,7 +330,7 @@ def main():
         # halves); `rays` counts only live lanes.  This is the
         # raw-kernel-vs-production normalizer: raw attribution batches
         # run at occupancy 1.0, the production wave at this value.
-        total_iters = float(np.sum(np.asarray(jnp.stack(iter_stats))))
+        total_iters = float(np.sum(iter_stats))
         occupancy = total_rays / max(total_iters * 2 * block, 1.0)
         log(
             f"wave occupancy: {occupancy:.3f} "
@@ -430,12 +440,12 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
         # paging artifact, r4 measurements) — flush it before timing.
         for k in range(3):
             r = fn(o + 1e-6 * k, d)
-        jax.block_until_ready(r)
+        float(jnp.sum(r[0]))  # data fetch (tunnel-safe sync, see wave loop)
         t0 = time.time()
         reps = 3
         for k in range(reps):
             r = fn(o + 1e-5 * k, d)
-        jax.block_until_ready(r)
+            float(jnp.sum(r[0]))
         dt = (time.time() - t0) / reps
         out[f"attrib_{name}_mrays_per_s"] = round(n / dt / 1e6, 3)
         if use_pallas:
@@ -534,12 +544,12 @@ def bwd_benchmark(
     # the attribution phase; bwd previously swung 2x run-to-run).
     for k in range(2):
         v, g = vg(refl * (1.0 + 1e-6 * (50 + k)))
-    jax.block_until_ready(g)
-    t0 = time.time()
+        float(v)    # data fetch: block_until_ready is unreliable on the
+    t0 = time.time()  # tunnel (see the fwd wave loop note)
     reps = 2
     for k in range(reps):
         v, g = vg(refl * (1.0 + 1e-6 * k))
-    jax.block_until_ready(g)
+        float(v)
     dt = (time.time() - t0) / reps
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
     # Rays in this wave block: measured by the fwd phase (per block-wave).

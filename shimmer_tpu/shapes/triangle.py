@@ -587,15 +587,18 @@ def _traverse_raw(tris: TriangleSceneData, ray_o, ray_d, t_max, any_hit):
             tris, ray_o, ray_d, t_max, any_hit=any_hit,
             interpret=tris.traversal == "pallas"
             and jax.default_backend() != "tpu",
-            # Morton/octant sorting measured NET-NEGATIVE on-chip (r4):
-            # the 131k-lane argsort costs ~6 ms and the shared-stack
-            # union did not shrink on bounce loads (origin-clustered
-            # rays with divergent directions still visit the union).
-            # Off by default; the env knob re-enables for experiments.
-            sort_rays=bool(int(os.environ.get("SHIMMER_SORT_RAYS", "0"))),
-            # O(N) live-first partition — measured NET-NEGATIVE too (r4:
-            # wave 1.01 vs 1.13 Mrays/s off; the reorder gathers cost
-            # more than the emptied packets save, even at 60% dead).
+            # Morton/octant sorting: NET-NEGATIVE at the r4 config, but
+            # the r5 re-test at the production config (block 2^17,
+            # wave_spp 16; experiments/r5_compact_ab.py) measured a
+            # reproducible +0.9% (1.605 vs 1.591 Mrays/s, both ABAB
+            # passes identical) — the argsort also compacts dead lanes
+            # (~50% of dispatch lanes) to the tail as whole-dead
+            # packets.  Default ON since r5.
+            sort_rays=bool(int(os.environ.get("SHIMMER_SORT_RAYS", "1"))),
+            # O(N) live-first partition — measured NET-NEGATIVE at both
+            # the r4 config (wave 1.01 vs 1.13 off) and the r5 config
+            # (1.443 vs 1.591): the reorder gathers cost more than the
+            # emptied packets save.  Subsumed by sort_rays anyway.
             compact_dead=bool(int(os.environ.get("SHIMMER_COMPACT", "0"))),
         )
     return _traverse(tris, ray_o, ray_d, t_max, any_hit=any_hit, raw=True)
