@@ -440,13 +440,22 @@ def traversal_attribution(scene, cam, film, n=1 << 17):
         # paging artifact, r4 measurements) — flush it before timing.
         for k in range(3):
             r = fn(o + 1e-6 * k, d)
-        float(jnp.sum(r[0]))  # data fetch (tunnel-safe sync, see wave loop)
+        float(jnp.sum(r[0]))  # drain queue: data fetch, tunnel-safe
+        # Round-trip cost of one fetch on already-computed data — the
+        # tunnel adds ~10-20 ms per fetch, comparable to one raw
+        # dispatch, so a per-rep fetch would halve the reported rate
+        # (observed).  Time the rep batch with ONE end fetch (the TPU
+        # stream executes in order, so it waits for all reps) and
+        # subtract the measured fetch cost.
         t0 = time.time()
-        reps = 3
+        float(jnp.sum(r[0]))
+        fetch_rt = time.time() - t0
+        t0 = time.time()
+        reps = 6
         for k in range(reps):
             r = fn(o + 1e-5 * k, d)
-            float(jnp.sum(r[0]))
-        dt = (time.time() - t0) / reps
+        float(jnp.sum(r[0]))
+        dt = max(time.time() - t0 - fetch_rt, 1e-9) / reps
         out[f"attrib_{name}_mrays_per_s"] = round(n / dt / 1e6, 3)
         if use_pallas:
             steps = np.asarray(r[2]).reshape(-1, P)[:, 0]
